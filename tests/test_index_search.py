@@ -1,0 +1,193 @@
+"""Index build + BM25/QLD retrieval conformance tests.
+
+BM25 goldens are hand-computed with Lucene-8 math (the reference's
+scoring via pyserini, SURVEY.md §2.6) on the reference's 4-doc corpus
+(/root/reference/tests/test_psq.py:29-32).
+"""
+import math
+import pathlib
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from patapsco_ray.index.build import build_index
+from patapsco_ray.search.engine import IndexSearcher
+from patapsco_ray.text import TextConfig
+
+DOCS = {
+    "1": "gato felino",
+    "2": "gato and some extra words gato",
+    "3": "felino",
+    "4": "gato",
+}
+CFG = TextConfig(tokenize="whitespace", stopwords=False, stem=False)
+
+
+def idf(df, n=4):
+    return math.log(1 + (n - df + 0.5) / (df + 0.5))
+
+
+def w(tf, dl, k1, b, avgdl=2.5):
+    return tf / (tf + k1 * (1 - b + b * dl / avgdl))
+
+
+@pytest.fixture(scope="module")
+def corpus_index(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("idx4")
+    inp = root / "input"
+    inp.mkdir()
+    pq.write_table(
+        pa.table({"url": list(DOCS), "text": list(DOCS.values())}),
+        inp / "docs.parquet",
+    )
+    manifest = build_index(str(inp), str(root / "index"), text_config=CFG,
+                           html_column=None)
+    return root / "index", manifest
+
+
+def test_manifest_stats(corpus_index):
+    _, manifest = corpus_index
+    assert manifest["ndocs"] == 4
+    assert manifest["total_tf"] == 10
+    assert manifest["avgdl"] == pytest.approx(2.5)
+
+
+def test_bm25_single_term(corpus_index):
+    index_dir, _ = corpus_index
+    s = IndexSearcher(index_dir, scorer="bm25", k1=1.2, b=0.75, text_config=CFG)
+    hits = s.search("gato", k=10)
+    exp = sorted(
+        [(d, idf(3) * w({"1": 1, "2": 2, "4": 1}[d], {"1": 2, "2": 6, "4": 1}[d],
+                        1.2, 0.75)) for d in ("1", "2", "4")],
+        key=lambda x: -x[1],
+    )
+    assert [h["doc_id"] for h in hits] == [d for d, _ in exp]
+    for h, (_, score) in zip(hits, exp):
+        assert h["score"] == pytest.approx(score, abs=1e-12)
+    assert [h["rank"] for h in hits] == [0, 1, 2]
+
+
+def test_bm25_repeated_query_term(corpus_index):
+    index_dir, _ = corpus_index
+    s = IndexSearcher(index_dir, scorer="bm25", k1=0.9, b=0.4, text_config=CFG)
+
+    def full(d):
+        sc = 0.0
+        tf_g = {"1": 1, "2": 2, "4": 1}.get(d, 0)
+        tf_f = {"1": 1, "3": 1}.get(d, 0)
+        dl = {"1": 2, "2": 6, "3": 1, "4": 1}[d]
+        if tf_g:
+            sc += 2 * idf(3) * w(tf_g, dl, 0.9, 0.4)
+        if tf_f:
+            sc += idf(2) * w(tf_f, dl, 0.9, 0.4)
+        return sc
+
+    hits = s.search("gato gato felino", k=10)
+    exp = sorted(((d, full(d)) for d in "1234"), key=lambda x: (-x[1], x[0]))
+    assert [h["doc_id"] for h in hits] == [d for d, _ in exp]
+    for h, (_, score) in zip(hits, exp):
+        assert h["score"] == pytest.approx(score, abs=1e-12)
+
+
+def test_missing_term_returns_empty(corpus_index):
+    index_dir, _ = corpus_index
+    s = IndexSearcher(index_dir, text_config=CFG)
+    assert s.search("unseen", k=10) == []
+
+
+def test_qld(corpus_index):
+    index_dir, _ = corpus_index
+    s = IndexSearcher(index_dir, scorer="qld", mu=1000, text_config=CFG)
+    hits = s.search("gato felino", k=10)
+    # LMDirichlet: score per matching term, clamped at 0
+    mu = 1000.0
+
+    def qld(d):
+        tf_g = {"1": 1, "2": 2, "4": 1}.get(d, 0)
+        tf_f = {"1": 1, "3": 1}.get(d, 0)
+        dl = {"1": 2, "2": 6, "3": 1, "4": 1}[d]
+        sc = 0.0
+        for tf, cf in ((tf_g, 4), (tf_f, 2)):
+            if tf:
+                sc += max(
+                    0.0,
+                    math.log(1 + tf / (mu * cf / 10)) + math.log(mu / (dl + mu)),
+                )
+        return sc
+
+    exp = sorted(((d, qld(d)) for d in "1234"), key=lambda x: (-x[1], x[0]))
+    assert [h["doc_id"] for h in hits] == [d for d, _ in exp]
+    for h, (_, score) in zip(hits, exp):
+        assert h["score"] == pytest.approx(score, abs=1e-12)
+
+
+def test_multi_segment_equals_single(ray_session, tmp_path):
+    """Same corpus in 1 segment vs 4 segments must rank identically."""
+    inp = tmp_path / "inp"
+    inp.mkdir()
+    # one file per doc -> rows_per_segment=1 forces 4 segments
+    for i, (d, t) in enumerate(DOCS.items()):
+        pq.write_table(pa.table({"url": [d], "text": [t]}),
+                       inp / f"f{i}.parquet")
+    m1 = build_index(str(inp), str(tmp_path / "idx1"), text_config=CFG,
+                     html_column=None)
+    m4 = build_index(str(inp), str(tmp_path / "idx4"), text_config=CFG,
+                     html_column=None, rows_per_segment=1)
+    assert len(m4["segments"]) == 4
+    s1 = IndexSearcher(tmp_path / "idx1", k1=1.2, b=0.75, text_config=CFG)
+    s4 = IndexSearcher(tmp_path / "idx4", k1=1.2, b=0.75, text_config=CFG)
+    for q in ("gato", "felino", "gato felino", "extra words"):
+        h1 = [(h["doc_id"], round(h["score"], 10)) for h in s1.search(q)]
+        h4 = [(h["doc_id"], round(h["score"], 10)) for h in s4.search(q)]
+        assert h1 == h4, q
+
+
+def test_resume_skips_complete_segments(ray_session, tmp_path):
+    inp = tmp_path / "inp"
+    inp.mkdir()
+    pq.write_table(
+        pa.table({"url": list(DOCS), "text": list(DOCS.values())}),
+        inp / "docs.parquet",
+    )
+    idx = tmp_path / "idx"
+    m1 = build_index(str(inp), str(idx), text_config=CFG, html_column=None)
+    meta_path = idx / "seg=000000" / "meta.json"
+    mtime = meta_path.stat().st_mtime_ns
+    m2 = build_index(str(inp), str(idx), text_config=CFG, html_column=None,
+                     resume=True)
+    assert meta_path.stat().st_mtime_ns == mtime  # untouched -> skipped
+    assert m2["ndocs"] == m1["ndocs"]
+    # resume=False rebuilds
+    build_index(str(inp), str(idx), text_config=CFG, html_column=None,
+                resume=False)
+    assert meta_path.stat().st_mtime_ns != mtime
+
+
+def test_prune_matches_exhaustive(ray_session, tmp_path):
+    import numpy as np
+    rng = np.random.default_rng(3)
+    n = 2000
+    vocab = [f"t{i}" for i in range(50)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(5, 40)))
+        for _ in range(n)
+    ]
+    inp = tmp_path / "inp"
+    inp.mkdir()
+    pq.write_table(
+        pa.table({"url": [f"d{i}" for i in range(n)], "text": texts}),
+        inp / "docs.parquet",
+    )
+    build_index(str(inp), str(tmp_path / "idx"), text_config=CFG,
+                html_column=None)
+    s = IndexSearcher(tmp_path / "idx", text_config=CFG)
+    seg = s.manifest["segments"][0]
+    ss = s._segment(seg)
+    from patapsco_ray.search.engine import lookup_global_stats
+    g = lookup_global_stats(s.index_dir, ["t0"])
+    o1, sc1 = ss.score({"t0": 1}, s.scorer, g, k=10, prune=False)
+    o2, sc2 = ss.score({"t0": 1}, s.scorer, g, k=10, prune=True)
+    assert np.array_equal(o1, o2)
+    assert np.allclose(sc1, sc2)

@@ -1,0 +1,125 @@
+"""Tokenizer / stemmer / stopword golden tests.
+
+Mirrors /root/reference/tests/test_text.py (whitespace + porter +
+lucene stopwords — the reference's default pipeline config).
+"""
+import pytest
+
+from patapsco_ray.text import (
+    NgramTokenizer,
+    PorterStemmer,
+    StopWordsRemover,
+    TextConfig,
+    TextProcessor,
+    WhiteSpaceTokenizer,
+    create_tokenizer,
+)
+
+
+def test_stop_words_english():
+    swr = StopWordsRemover("lucene", "eng")
+    tokens = ["this", "is", "a", "test"]
+    assert swr.remove(tokens, swr.identify(tokens)) == ["test"]
+
+
+def test_stop_words_english_uppercase():
+    swr = StopWordsRemover("lucene", "eng")
+    tokens = ["This", "is", "a", "test"]
+    assert swr.remove(tokens, swr.identify(tokens, is_lower=True)) == ["This", "test"]
+
+
+def test_stop_words_english_caseless():
+    swr = StopWordsRemover("lucene", "eng")
+    tokens = ["This", "is", "a", "test"]
+    assert swr.remove(tokens, swr.identify(tokens, is_lower=False)) == ["test"]
+
+
+def test_stop_words_indonesian():
+    swr = StopWordsRemover("lucene", "ind")
+    tokens = ["antar", "belanja"]
+    assert swr.remove(tokens, swr.identify(tokens)) == ["belanja"]
+
+
+def test_porter_stemmer_english():
+    # reference tests/test_text.py:38-43 golden
+    tokens = ["It", "was", "a", "bright", "cold", "day", "in", "April", ",",
+              "and", "the", "clocks", "were", "striking", "thirteen", "."]
+    ans = ["It", "wa", "a", "bright", "cold", "day", "in", "April", ",",
+           "and", "the", "clock", "were", "strike", "thirteen", "."]
+    assert PorterStemmer("eng").stem(tokens) == ans
+
+
+def test_porter_stemmer_long_token():
+    # reference tests/test_text.py:46-50: a huge consonant-chain token
+    # trips the recursive y/consonant check and is returned unchanged
+    tok = "h" + "y" * 2000
+    assert PorterStemmer("eng").stem_word(tok) == tok
+
+
+def test_porter_classic_vocabulary():
+    pairs = {
+        "caresses": "caress", "ponies": "poni", "ties": "tie",
+        "cats": "cat", "feed": "feed", "agreed": "agre",
+        "plastered": "plaster", "motoring": "motor", "hopping": "hop",
+        "falling": "fall", "filing": "file", "happy": "happi",
+        "sky": "sky", "dying": "die", "died": "die", "day": "day",
+        "relational": "relat", "operator": "oper", "electrical": "electr",
+        "adjustment": "adjust", "dependent": "depend", "adoption": "adopt",
+        "flooding": "flood", "articles": "articl",
+    }
+    p = PorterStemmer("eng")
+    for w, want in pairs.items():
+        assert p.stem_word(w) == want, w
+
+
+def test_porter_rejects_other_languages():
+    with pytest.raises(ValueError):
+        PorterStemmer("fra")
+
+
+def test_whitespace_tokenizer():
+    assert WhiteSpaceTokenizer("eng").tokenize("a  b\tc") == ["a", "b", "c"]
+
+
+def test_ngram_tokenizer():
+    # reference tests/test_text.py ngram golden (sentence-split + 5-grams)
+    text = "Roses are red. Violets are blue."
+    ans = [
+        "Roses", "oses ", "ses a", "es ar", "s are", " are ", "are r",
+        "re re", "e red", " red.",
+        "Viole", "iolet", "olets", "lets ", "ets a", "ts ar", "s are",
+        " are ", "are b", "re bl", "e blu", " blue", "blue.",
+    ]
+    assert NgramTokenizer("eng").tokenize(text) == ans
+
+
+def test_unknown_tokenizer():
+    with pytest.raises(ValueError):
+        create_tokenizer("stanford", "eng")
+
+
+def test_unavailable_tokenizer_seam():
+    with pytest.raises(NotImplementedError):
+        create_tokenizer("stanza", "eng")
+
+
+def test_processor_chain_order():
+    # stopwords identified pre-stem, removed post-stem
+    # (reference docs.py:253-256): "This is a test" with porter:
+    # "this"->"thi" after stem, but it was identified as a stopword
+    # BEFORE stemming so it is still removed.
+    proc = TextProcessor(TextConfig(stem="porter"), "eng")
+    assert proc.process("This is a test of clocks striking") == \
+        "test clock strike"
+
+
+def test_processor_rejects_long_doc():
+    proc = TextProcessor(TextConfig(), "eng")
+    assert proc.process("x" * 1_000_001) is None
+
+
+def test_processor_query_doc_identical():
+    cfg = TextConfig(stem="porter")
+    proc = TextProcessor(cfg, "eng")
+    assert proc.process("Flooding") == "flood"
+    assert proc.process("Articles related to floods.") == "articl relat floods."
