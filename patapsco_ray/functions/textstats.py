@@ -1,0 +1,247 @@
+"""Text-analysis operators over a document table (id, text).
+
+All operators are zero-copy-Arrow ``map_batches`` stages: tokenization
+uses ``pyarrow.compute`` list kernels (split / flatten / parent
+indices) and per-document aggregation uses ``np.bincount`` /
+``np.maximum.reduceat`` over the flattened arrays — no Python loop over
+rows in the hot path.
+
+Tokenization convention (shared with the DuckDB oracles in
+``__ray_entry__``): lowercase, split on a single space, drop empty
+tokens — i.e. ``list_filter(string_split(lower(text), ' '), x <> '')``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..text.stopwords import load_stopwords
+from .hashing import hash_strings
+
+# BPE-ish word/number/symbol token pattern (RE2 — identical semantics in
+# pyarrow and DuckDB regexp_extract_all)
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+PUNCT_PATTERN = r"[^A-Za-z0-9\s]"
+
+# Small built-in stopword profiles for languages whose Lucene lists are
+# not bundled; used only by the language-id heuristic.
+_LANGID_EXTRA = {
+    "fra": frozenset(
+        "le la les un une des du de et est sont dans pour que qui sur pas "
+        "au aux avec ce cette ces il elle ils elles nous vous je tu se ne "
+        "plus mais ou donc car si son sa ses leur leurs être avoir fait "
+        "comme tout tous même aussi très bien été".split()
+    ),
+    "deu": frozenset(
+        "der die das ein eine und ist sind in im für dass mit auf nicht "
+        "von zu den dem des sich auch es ich du er sie wir ihr aber oder "
+        "wenn als nur noch nach bei aus durch über unter wie was wer wo "
+        "haben hat war waren sein werden wird schon sehr kann muss".split()
+    ),
+}
+
+
+def _tokens(texts: pa.ChunkedArray | pa.Array):
+    """(flat_tokens, parent_indices, nonempty_mask) for lowercased
+    single-space tokenization of a string column."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    low = pc.utf8_lower(texts)
+    toks = pc.split_pattern(low, " ")
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy().astype(np.int64, copy=False)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    nonempty = np.asarray(nonempty, dtype=bool)
+    return flat, parent, nonempty
+
+
+def _seg_count(parent: np.ndarray, mask: np.ndarray, n: int) -> np.ndarray:
+    if parent.size == 0:
+        return np.zeros(n, dtype=np.int64)
+    return np.bincount(parent, weights=mask.astype(np.float64), minlength=n
+                       ).astype(np.int64)
+
+
+def _fill_int(arr: pa.Array, n: int) -> np.ndarray:
+    out = pc.fill_null(arr, 0).to_numpy(zero_copy_only=False)
+    return np.asarray(out, dtype=np.int64)
+
+
+def token_counts(
+    ds: ray.data.Dataset, *, id_column: str = "doc_id", text_column: str = "text"
+) -> ray.data.Dataset:
+    """Per-document token counts: whitespace tokens and BPE-ish regex
+    tokens -> (id, n_tokens, n_tokens_bpe)."""
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        texts = tbl.column(text_column)
+        _, parent, nonempty = _tokens(texts)
+        n = tbl.num_rows
+        n_tokens = _seg_count(parent, nonempty, n)
+        n_bpe = _fill_int(
+            pc.count_substring_regex(
+                texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts,
+                pattern=BPE_PATTERN,
+            ),
+            n,
+        )
+        return pa.table(
+            {
+                id_column: tbl.column(id_column),
+                "n_tokens": pa.array(n_tokens),
+                "n_tokens_bpe": pa.array(n_bpe),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quality_signals(
+    ds: ray.data.Dataset,
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    stopword_source: str = "lucene",
+    stopword_lang: str = "eng",
+) -> ray.data.Dataset:
+    """Per-document quality signals (integer components + ratios).
+
+    Columns: id, n_chars, n_tokens, n_unique_tokens, n_stopwords,
+    n_punct, stopword_ratio, unique_ratio. The integer components are
+    SQL-reproducible; the ratios are 0.0 when the doc has no tokens.
+    """
+    stopset = sorted(load_stopwords(stopword_source, stopword_lang))
+    stop_arr = pa.array(stopset, pa.string())
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        texts = tbl.column(text_column)
+        texts1 = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+        flat, parent, nonempty = _tokens(texts)
+        n = tbl.num_rows
+        n_chars = _fill_int(pc.utf8_length(texts1), n)
+        n_tokens = _seg_count(parent, nonempty, n)
+        stop_mask = np.asarray(
+            pc.is_in(flat, value_set=stop_arr).to_numpy(zero_copy_only=False),
+            dtype=bool,
+        )
+        n_stop = _seg_count(parent, stop_mask & nonempty, n)
+        n_punct = _fill_int(
+            pc.count_substring_regex(texts1, pattern=PUNCT_PATTERN), n)
+        # distinct tokens per doc: sort (parent, token_hash), count breaks
+        if parent.size:
+            h = hash_strings(flat, seed=7)
+            keep = nonempty
+            p2, h2 = parent[keep], h[keep]
+            order = np.lexsort((h2, p2))
+            p2, h2 = p2[order], h2[order]
+            new = np.ones(p2.size, dtype=bool)
+            if p2.size > 1:
+                new[1:] = (p2[1:] != p2[:-1]) | (h2[1:] != h2[:-1])
+            n_uniq = _seg_count(p2, new, n)
+        else:
+            n_uniq = np.zeros(n, dtype=np.int64)
+        denom = np.maximum(n_tokens, 1).astype(np.float64)
+        return pa.table(
+            {
+                id_column: tbl.column(id_column),
+                "n_chars": pa.array(n_chars),
+                "n_tokens": pa.array(n_tokens),
+                "n_unique_tokens": pa.array(n_uniq),
+                "n_stopwords": pa.array(n_stop),
+                "n_punct": pa.array(n_punct),
+                "stopword_ratio": pa.array(n_stop / denom),
+                "unique_ratio": pa.array(n_uniq / denom),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def language_id(
+    ds: ray.data.Dataset, *, id_column: str = "doc_id", text_column: str = "text"
+) -> ray.data.Dataset:
+    """Heuristic language id by stopword voting.
+
+    For each bundled profile (eng/spa/rus Lucene lists + built-in
+    fra/deu), count tokens hitting the profile; predict the argmax
+    (ties -> lexicographically first), 'und' when nothing hits.
+    Columns: id, pred_lang, n_hits.
+    """
+    profiles: dict[str, pa.Array] = {}
+    for lang in ("eng", "rus", "spa"):
+        profiles[lang] = pa.array(sorted(load_stopwords("lucene", lang)))
+    for lang, words in _LANGID_EXTRA.items():
+        profiles[lang] = pa.array(sorted(words))
+    langs = sorted(profiles)
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        texts = tbl.column(text_column)
+        flat, parent, nonempty = _tokens(texts)
+        n = tbl.num_rows
+        votes = np.zeros((len(langs), n), dtype=np.int64)
+        for i, lang in enumerate(langs):
+            m = np.asarray(
+                pc.is_in(flat, value_set=profiles[lang]).to_numpy(
+                    zero_copy_only=False),
+                dtype=bool,
+            )
+            votes[i] = _seg_count(parent, m & nonempty, n)
+        best = votes.argmax(axis=0)  # first max wins -> lexicographic tie-break
+        n_hits = votes[best, np.arange(n)]
+        pred = np.array(langs, dtype=object)[best]
+        pred[n_hits == 0] = "und"
+        return pa.table(
+            {
+                id_column: tbl.column(id_column),
+                "pred_lang": pa.array(pred.tolist(), pa.string()),
+                "n_hits": pa.array(n_hits),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def fingerprints(
+    ds: ray.data.Dataset,
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    window: int = 4,
+    seed: int = 11,
+) -> ray.data.Dataset:
+    """Winnowing-style document fingerprint: minimum rolling-hash over
+    ``window``-token shingles -> (id, fingerprint:int64, n_windows).
+
+    Documents sharing any long run of tokens collide on fingerprints
+    with high probability; empty docs get fingerprint 0.
+    """
+    from .hashing import window_hashes
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        texts = tbl.column(text_column)
+        flat, parent, nonempty = _tokens(texts)
+        n = tbl.num_rows
+        # rebuild offsets over nonempty tokens only
+        counts = _seg_count(parent, nonempty, n)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        th = hash_strings(flat, seed=seed)[nonempty] if parent.size else \
+            np.empty(0, dtype=np.uint64)
+        wh, woff = window_hashes(th, offsets, window)
+        fp = np.zeros(n, dtype=np.uint64)
+        nw = np.diff(woff)
+        nz = np.flatnonzero(nw > 0)
+        if nz.size:
+            fp[nz] = np.minimum.reduceat(wh, woff[:-1][nz])
+        return pa.table(
+            {
+                id_column: tbl.column(id_column),
+                "fingerprint": pa.array(fp.view(np.int64)),
+                "n_windows": pa.array(nw.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -170,7 +170,7 @@ class SegmentBuilder:
                     rejected += 1
                     continue
                 terms = processed.split()
-                doc_ids.append(doc_id)
+                doc_ids.append(doc_id if isinstance(doc_id, str) else str(doc_id))
                 doc_lens.append(len(terms))
                 if terms:
                     for term, tf in collections.Counter(terms).items():

@@ -70,13 +70,20 @@ def lookup_global_stats(index_dir, terms: list[str]) -> dict[str, tuple[int, int
 class SegmentScorer:
     """Holds one segment's norms (and lazily, postings) for scoring."""
 
-    def __init__(self, index_dir, seg: dict):
+    def __init__(self, index_dir, seg: dict, quantize_norms: bool = True):
         self.index_dir = index_dir
         self.seg_id = seg["seg_id"]
         self.base = seg["base"]
         self.ndocs = seg["ndocs"]
-        docs = read_docs(index_dir, self.seg_id, columns=["norm"])
+        self.quantize_norms = quantize_norms
+        cols = ["norm"] if quantize_norms else ["norm", "dl"]
+        docs = read_docs(index_dir, self.seg_id, columns=cols)
         self.norms = docs.column("norm").to_numpy().astype(np.uint8)
+        # exact doc lengths for the un-quantized (SQL-oracle) scoring mode
+        self.lens = (
+            None if quantize_norms
+            else docs.column("dl").to_numpy().astype(np.float64)
+        )
         self._doc_ids: pa.Table | None = None
 
     def doc_ids_for(self, ordinals: np.ndarray) -> list[str]:
@@ -149,7 +156,12 @@ class SegmentScorer:
                 ords, tfs = decode_postings(
                     row["postings"], row["block_offsets"], row["block_counts"]
                 )
-                contrib = scorer.score_postings(tfs, self.norms[ords], stat, qtf)
+                if self.quantize_norms:
+                    contrib = scorer.score_postings(
+                        tfs, self.norms[ords], stat, qtf)
+                else:
+                    contrib = scorer.score_postings_dl(
+                        tfs, self.lens[ords], stat, qtf)
                 scores[ords] += contrib
                 matched[ords] = True
         cand = np.flatnonzero(matched)
@@ -176,6 +188,7 @@ class IndexSearcher:
         b: float = 0.4,
         mu: float = 1000.0,
         text_config: TextConfig | None = None,
+        quantize_norms: bool = True,
     ):
         self.index_dir = str(index_dir)
         self.manifest = read_manifest(index_dir)
@@ -191,12 +204,13 @@ class IndexSearcher:
         self.stats = CorpusStats(self.manifest["ndocs"], self.manifest["total_tf"])
         self.scorer_name = scorer
         self.scorer = make_scorer(scorer, self.stats, k1=k1, b=b, mu=mu)
+        self.quantize_norms = quantize_norms
         self._segments: dict[str, SegmentScorer] = {}
 
     def _segment(self, seg: dict) -> SegmentScorer:
         ss = self._segments.get(seg["seg_id"])
         if ss is None:
-            ss = SegmentScorer(self.index_dir, seg)
+            ss = SegmentScorer(self.index_dir, seg, self.quantize_norms)
             self._segments[seg["seg_id"]] = ss
         return ss
 

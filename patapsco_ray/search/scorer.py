@@ -62,6 +62,17 @@ class BM25Scorer:
         denom = tf + self.norm_cache[norm_bytes]
         return (qtf * self.idf(df)) * (tf / denom)
 
+    def score_postings_dl(
+        self, tfs: np.ndarray, dls: np.ndarray, df: int, qtf: int = 1
+    ) -> np.ndarray:
+        """Exact-doc-length variant (no byte4 quantization) — used as
+        the SQL-expressible conformance oracle mode; quantized scores
+        upper-bound these (quantization rounds dl down)."""
+        avgdl = self.stats.avgdl if self.stats.avgdl > 0 else 1.0
+        tf = tfs.astype(np.float64)
+        denom = tf + self.k1 * ((1.0 - self.b) + self.b * dls / avgdl)
+        return (qtf * self.idf(df)) * (tf / denom)
+
     def max_block_score(self, max_tf: int, min_norm_byte: int, df: int,
                         qtf: int = 1) -> float:
         """Upper bound of this term's score within a block (block-max)."""
@@ -81,6 +92,14 @@ class QLDScorer:
         p_w = cf / self.stats.total_tf
         s = np.log1p(tfs.astype(np.float64) / (self.mu * p_w))
         s += self.doclen_cache[norm_bytes]
+        return qtf * np.maximum(s, 0.0)
+
+    def score_postings_dl(
+        self, tfs: np.ndarray, dls: np.ndarray, cf: int, qtf: int = 1
+    ) -> np.ndarray:
+        p_w = cf / self.stats.total_tf
+        s = np.log1p(tfs.astype(np.float64) / (self.mu * p_w))
+        s += np.log(self.mu / (dls + self.mu))
         return qtf * np.maximum(s, 0.0)
 
     def max_block_score(self, max_tf: int, min_norm_byte: int, cf: int,

@@ -1,0 +1,231 @@
+"""Tests for the training-data operator suite (functions/) against
+DuckDB oracles on the driver's synthetic tables."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+from patapsco_ray.functions import (
+    cosine_neardup_pairs,
+    cosine_topk,
+    exact_duplicates,
+    fingerprints,
+    language_id,
+    lsh_cosine_topk,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    quality_signals,
+    simhash_pairs,
+    token_counts,
+)
+from patapsco_ray.functions.multimodal import (
+    decode_images,
+    extract_audio_features,
+    sample_video_frames,
+)
+from patapsco_ray.text.stopwords import load_stopwords
+
+SF = "/root/testdata/sf0.001"
+DOCS = f"{SF}/documents.parquet"
+EMB = f"{SF}/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    return ray.data.read_parquet(DOCS)
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    return ray.data.read_parquet(EMB)
+
+
+def test_token_counts_vs_sql(docs_ds):
+    got = token_counts(docs_ds).to_pandas().sort_values("doc_id")
+    want = duckdb.sql(
+        f"""SELECT doc_id,
+        len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens,
+        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe
+        FROM '{DOCS}' ORDER BY doc_id"""
+    ).df()
+    assert (got["n_tokens"].values == want["n_tokens"].values).all()
+    assert (got["n_tokens_bpe"].values == want["n_bpe"].values).all()
+
+
+def test_quality_signals_vs_sql(docs_ds):
+    got = quality_signals(docs_ds).to_pandas().sort_values("doc_id")
+    sw = ",".join(f"'{w}'" for w in sorted(load_stopwords("lucene", "eng")))
+    want = duckdb.sql(
+        f"""WITH toks AS (
+          SELECT doc_id, unnest(list_filter(string_split(lower(text),' '),
+            x -> x <> '')) AS term FROM '{DOCS}')
+        SELECT d.doc_id, length(d.text) AS n_chars, count(t.term) AS n_tokens,
+          count(DISTINCT t.term) AS n_unique_tokens,
+          count(CASE WHEN t.term IN ({sw}) THEN 1 END) AS n_stopwords
+        FROM '{DOCS}' d LEFT JOIN toks t USING (doc_id)
+        GROUP BY d.doc_id, d.text ORDER BY doc_id"""
+    ).df()
+    for col in ("n_chars", "n_tokens", "n_unique_tokens", "n_stopwords"):
+        assert (got[col].values == want[col].values).all(), col
+    # ratio sanity
+    assert (got["stopword_ratio"] <= 1.0).all()
+    assert (got["unique_ratio"] <= 1.0).all()
+
+
+def test_language_id(docs_ds):
+    got = language_id(docs_ds).to_pandas()
+    assert len(got) == 500
+    # the synthetic corpus is english-like function words
+    assert (got["pred_lang"] == "eng").mean() > 0.5
+    assert set(got.columns) == {"doc_id", "pred_lang", "n_hits"}
+
+
+def test_fingerprints_identical_docs_collide(ray_session):
+    tbl = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b c d e f", "a b c d e f", "totally different words here",
+                 ""],
+    })
+    got = fingerprints(ray.data.from_arrow(tbl)).to_pandas().set_index("doc_id")
+    assert got.loc[1, "fingerprint"] == got.loc[2, "fingerprint"]
+    assert got.loc[1, "fingerprint"] != got.loc[3, "fingerprint"]
+    assert got.loc[4, "fingerprint"] == 0 and got.loc[4, "n_windows"] == 0
+
+
+def test_exact_duplicates(ray_session):
+    tbl = pa.table({
+        "doc_id": [5, 1, 2, 9, 3],
+        "text": ["x", "x", "y", "x", "y"],
+    })
+    got = exact_duplicates(ray.data.from_arrow(tbl)).to_pandas()
+    got = got.sort_values("keep_id").reset_index(drop=True)
+    assert got["keep_id"].tolist() == [1, 2]
+    assert got["n_copies"].tolist() == [3, 2]
+
+
+def test_ngram_jaccard_vs_sql(docs_ds):
+    got = ngram_jaccard_pairs(docs_ds, threshold=0.2).to_pandas()
+    got = got.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    want = duckdb.sql(
+        f"""WITH toks AS (
+          SELECT doc_id, list_filter(string_split(lower(text),' '),
+            x -> x <> '') AS t FROM '{DOCS}'),
+        shl AS (
+          SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+            ELSE list_transform(range(1, len(t)-1),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS shs
+          FROM toks WHERE len(t) > 0),
+        sh AS (SELECT DISTINCT doc_id, unnest(shs) AS sh FROM shl),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, n_common, na.n AS n_a, nb.n AS n_b,
+          CAST(FLOOR(n_common*1.0/(na.n+nb.n-n_common)*1000000 + 0.5)
+               AS BIGINT) AS jaccard_1e6
+        FROM pairs JOIN sizes na ON pairs.id_a = na.doc_id
+                   JOIN sizes nb ON pairs.id_b = nb.doc_id
+        WHERE n_common*1.0/(na.n+nb.n-n_common) >= 0.2
+        ORDER BY id_a, id_b"""
+    ).df()
+    assert len(got) == len(want) > 0
+    cols = ["id_a", "id_b", "n_common", "n_a", "n_b", "jaccard_1e6"]
+    assert (got[cols].values == want[cols].values).all()
+
+
+def test_minhash_finds_true_neardups(docs_ds):
+    """Every very-high-Jaccard pair must be recalled by MinHash+LSH."""
+    exact = ngram_jaccard_pairs(docs_ds, threshold=0.8).to_pandas()
+    truth = {(a, b) for a, b in zip(exact["id_a"], exact["id_b"])}
+    assert truth, "synthetic corpus should contain near-dups"
+    got = minhash_lsh_pairs(docs_ds, threshold=0.5).to_pandas()
+    found = set(zip(got["id_a"], got["id_b"]))
+    assert truth <= found
+
+
+def test_simhash_identical_docs(ray_session):
+    tbl = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["alpha beta gamma delta", "alpha beta gamma delta",
+                 "unrelated text entirely different"],
+    })
+    got = simhash_pairs(ray.data.from_arrow(tbl), max_hamming=0).to_pandas()
+    assert set(zip(got["id_a"], got["id_b"])) == {(1, 2)}
+    assert got["hamming"].tolist() == [0]
+
+
+def test_cosine_topk_vs_sql(emb_ds):
+    Q = np.asarray(
+        pq.read_table(EMB).column("embedding").combine_chunks().flatten()
+        .to_numpy(zero_copy_only=False)).reshape(500, -1)[:3]
+    cand = emb_ds.filter(expr="vec_id >= 3")
+    got = cosine_topk(cand, Q, query_ids=["q0", "q1", "q2"], k=5).to_pandas()
+    got = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    want = duckdb.sql(
+        f"""WITH q AS (SELECT 'q' || CAST(vec_id AS VARCHAR) AS query_id,
+              embedding::DOUBLE[] AS qe FROM '{EMB}' WHERE vec_id < 3),
+        c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM '{EMB}'
+              WHERE vec_id >= 3),
+        s AS (SELECT query_id, vec_id,
+              CAST(FLOOR(list_cosine_similarity(qe, e)*1000000 + 0.5)
+                   AS BIGINT) AS score_1e6 FROM q CROSS JOIN c)
+        SELECT query_id, vec_id, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY score_1e6 DESC, vec_id) - 1
+            AS BIGINT) AS rank, score_1e6
+        FROM s QUALIFY rank < 5 ORDER BY query_id, rank"""
+    ).df()
+    assert (got["vec_id"].values == want["vec_id"].values).all()
+    assert (got["score_1e6"].values == want["score_1e6"].values).all()
+
+
+def test_cosine_neardup_vs_sql(emb_ds):
+    got = cosine_neardup_pairs(emb_ds, threshold=0.4).to_pandas()
+    want = duckdb.sql(
+        f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM '{EMB}' a JOIN '{EMB}' b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+          b.embedding::DOUBLE[]) >= 0.4"""
+    ).df()
+    assert len(got) == len(want) > 0
+    assert set(zip(got["id_a"], got["id_b"])) == \
+        set(zip(want["id_a"], want["id_b"]))
+
+
+def test_lsh_topk_subset_of_exact_space(emb_ds):
+    Q = np.asarray(
+        pq.read_table(EMB).column("embedding").combine_chunks().flatten()
+        .to_numpy(zero_copy_only=False)).reshape(500, -1)[:2]
+    got = lsh_cosine_topk(emb_ds, Q, query_ids=["a", "b"], k=5,
+                          planes=6).to_pandas()
+    # approximate: valid schema, <= k rows per query, scores descending
+    for _, grp in got.groupby("query_id"):
+        grp = grp.sort_values("rank")
+        assert len(grp) <= 5
+        assert (np.diff(grp["score_1e6"].values) <= 0).all()
+
+
+def test_multimodal_stubs(ray_session):
+    payloads = [bytes([i]) * (50 + i) for i in range(10)]
+    tbl = pa.table({"id": list(range(10)),
+                    "image": pa.array(payloads, pa.binary()),
+                    "audio": pa.array(payloads, pa.binary()),
+                    "video": pa.array(payloads, pa.binary())})
+    ds = ray.data.from_arrow(tbl)
+    img = decode_images(ds, concurrency=1).to_pandas()
+    assert len(img) == 10 and {"width", "height", "features"} <= set(img.columns)
+    assert (img["width"] >= 64).all()
+    aud = extract_audio_features(ds, concurrency=1).to_pandas()
+    assert len(aud) == 10 and (aud["duration_ms"] > 0).all()
+    vid = sample_video_frames(ds, every_n=10).to_pandas()
+    assert (vid.groupby("id").size() >= 1).all()
+    # determinism: same payload -> same features
+    img2 = decode_images(ds, concurrency=1).to_pandas()
+    assert img["features"].iloc[0] == pytest.approx(img2["features"].iloc[0])
+    # real backend is an explicit stub
+    with pytest.raises(NotImplementedError):
+        decode_images(ds, backend="real")
