@@ -3,42 +3,381 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB (row-count + schema + order-insensitive value-hash ->
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in patapsco_ray) calls ``ray.init()`` / ``ray.shutdown()``.
+
+Flagship pipeline: Common-Crawl-style docs -> text chain -> inverted
+index (segment build + global-term merge) -> BM25/QLD top-k, the north
+rule of BASELINE.json. The SQL oracles replicate Lucene-faithful BM25 /
+QLD scoring (exact-doc-length mode) in ANSI SQL so rankings AND scores
+are value-checked, not just row counts.
 """
 
 from __future__ import annotations
 
+import pathlib
+import re
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+from patapsco_ray.functions import (
+    cosine_neardup_pairs,
+    cosine_topk,
+    exact_duplicates,
+    fingerprints,
+    language_id,
+    lsh_cosine_topk,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    quality_signals,
+    simhash_pairs,
+    token_counts,
+)
+from patapsco_ray.functions.multimodal import (
+    decode_images,
+    extract_audio_features,
+    sample_video_frames,
+)
+from patapsco_ray.index import build_index
+from patapsco_ray.search import IndexSearcher
+from patapsco_ray.text import TextConfig
+
+# ----------------------------------------------------------------- setup
+
+# SQL-friendly text config: whitespace tokenize + lowercase, no
+# stopword removal / stemming, so the DuckDB oracle can reproduce the
+# token stream with string_split(lower(text), ' ').
+SQL_TEXT_CONFIG = TextConfig(stopwords=False, stem=False, lowercase=True)
+
+# Fixed retrieval queries over the synthetic documents vocabulary
+# (terms all occur in /root/testdata/sf*/documents.parquet). Distinct
+# terms per query => qtf == 1 everywhere.
+RETRIEVAL_QUERIES: list[tuple[str, str]] = [
+    ("q1", "join hash scan"),
+    ("q2", "window agg stream"),
+    ("q3", "vector batch spark"),
+    ("q4", "customer order part"),
+    ("q5", "filter merge slow fast"),
+    ("q6", "data table column row"),
+]
+TOP_K = 10  # north rule: BM25 top-10 rank identity
+
+_CACHE_ROOT = pathlib.Path("/tmp/patapsco_ray_cache")
+
+
+def _index_for(sf_dir: str) -> str:
+    """Build (or reuse, via segment-lineage resume) the documents index
+    for one scale factor; returns the index dir."""
+    key = re.sub(r"[^A-Za-z0-9._-]", "_", str(sf_dir).strip("/"))
+    index_dir = _CACHE_ROOT / f"{key}-docs-v1"
+    build_index(
+        f"{sf_dir}/documents.parquet",
+        index_dir,
+        text_config=SQL_TEXT_CONFIG,
+        id_column="doc_id",
+        text_column="text",
+        html_column=None,
+        rows_per_segment=200,  # force multi-segment merge at sf0.01
+    )
+    return str(index_dir)
+
+
+def _scaled(x) -> pa.Array:
+    return pa.array(
+        np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5).astype(np.int64)
+    )
+
+
+def _search(sf_dir: str, scorer: str) -> pa.Table:
+    searcher = IndexSearcher(
+        _index_for(sf_dir), scorer=scorer, quantize_norms=False
+    )
+    tbl = searcher.search_batch(RETRIEVAL_QUERIES, k=TOP_K)
+    return pa.table(
+        {
+            "query_id": tbl.column("query_id"),
+            "doc_id": pa.compute.cast(tbl.column("doc_id"), pa.int64()),
+            "rank": pa.compute.cast(tbl.column("rank"), pa.int64()),
+            "score_1e6": _scaled(tbl.column("score").to_numpy()),
+        }
+    )
+
+
+def _docs(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _query_vectors(sf_dir: str, n: int) -> np.ndarray:
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+    col = t.column("embedding").combine_chunks()
+    dim = len(col[0])
+    flat = np.asarray(col.flatten().to_numpy(zero_copy_only=False))
+    return flat.reshape(-1, dim)[:n]
+
+
+# ------------------------------------------------------------ entrypoints
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: sf0.001 documents -> segment index build -> global term
+    merge -> BM25 top-k for the fixed query set."""
+    return _search("/root/testdata/sf0.001", "bm25")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    q: dict[str, Callable[[str], Any]] = {}
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- index build + retrieval (the reference's core pipeline) ---
+    q["bm25_topk"] = lambda sf: _search(sf, "bm25")
+    q["qld_topk"] = lambda sf: _search(sf, "qld")
+
+    def term_stats(sf: str):
+        idx = _index_for(sf)
+        return ray.data.read_parquet(f"{idx}/global_terms")
+
+    q["index_term_stats"] = term_stats
+
+    def doc_lengths(sf: str):
+        idx = _index_for(sf)
+        import glob
+
+        files = sorted(glob.glob(f"{idx}/seg=*/docs.parquet"))
+        ds = ray.data.read_parquet(files, columns=["doc_id", "dl"])
+        return ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": pa.compute.cast(t.column("doc_id"), pa.int64()),
+                    "dl": pa.compute.cast(t.column("dl"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    q["index_doc_lengths"] = doc_lengths
+
+    # --- text analysis ---
+    q["token_counts"] = lambda sf: token_counts(_docs(sf))
+    q["quality_signals"] = lambda sf: quality_signals(_docs(sf)).select_columns(
+        ["doc_id", "n_chars", "n_tokens", "n_unique_tokens", "n_stopwords"]
+    )
+    q["language_id"] = lambda sf: language_id(_docs(sf))  # rows-only
+    q["fingerprints"] = lambda sf: fingerprints(_docs(sf))  # rows-only
+
+    # --- deduplication ---
+    q["exact_duplicates"] = lambda sf: exact_duplicates(_docs(sf))
+    q["ngram_jaccard_pairs"] = lambda sf: ngram_jaccard_pairs(
+        _docs(sf), threshold=0.2
+    )
+    q["minhash_lsh_pairs"] = lambda sf: minhash_lsh_pairs(
+        _docs(sf), threshold=0.5
+    )  # rows-only (probabilistic)
+    q["simhash_pairs"] = lambda sf: simhash_pairs(
+        _docs(sf), max_hamming=3
+    )  # rows-only
+
+    # --- similarity search over embeddings ---
+    def topk(sf: str):
+        Q = _query_vectors(sf, 3)
+        return cosine_topk(
+            _emb(sf).filter(expr="vec_id >= 3"),
+            Q,
+            query_ids=["q0", "q1", "q2"],
+            k=5,
+        )
+
+    q["cosine_topk"] = topk
+    q["cosine_neardup_pairs"] = lambda sf: cosine_neardup_pairs(
+        _emb(sf), threshold=0.4
+    )
+
+    def lsh_topk(sf: str):
+        Q = _query_vectors(sf, 2)
+        return lsh_cosine_topk(
+            _emb(sf), Q, query_ids=["q0", "q1"], k=5, planes=6
+        )
+
+    q["lsh_cosine_topk"] = lsh_topk  # rows-only (approximate)
+
+    # --- multimodal plumbing (deterministic fake decode backend) ---
+    def _with_binary(sf: str, col: str) -> ray.data.Dataset:
+        def add(t: pa.Table) -> pa.Table:
+            payload = pa.compute.cast(
+                t.column("text"), pa.binary()
+            )
+            return pa.table({"id": t.column("doc_id"), col: payload})
+
+        return _docs(sf).map_batches(add, batch_format="pyarrow")
+
+    q["decode_images"] = lambda sf: decode_images(
+        _with_binary(sf, "image"), concurrency=2
+    )  # rows-only
+    q["audio_features"] = lambda sf: extract_audio_features(
+        _with_binary(sf, "audio"), concurrency=2
+    )  # rows-only
+    q["video_frames"] = lambda sf: sample_video_frames(
+        _with_binary(sf, "video"), every_n=10
+    )  # rows-only
+
+    return q
+
+
+# ------------------------------------------------------------ oracles
+
+
+def _queries_values() -> str:
+    rows = []
+    for qid, text in RETRIEVAL_QUERIES:
+        for term in text.split():
+            rows.append(f"('{qid}', '{term}')")
+    return ", ".join(rows)
+
+
+_TOKS = (
+    "SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), "
+    "x -> x <> '')) AS term FROM documents"
+)
+
+_RETRIEVAL_BASE = f"""
+WITH q(query_id, term) AS (VALUES {{values}}),
+toks AS ({_TOKS}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+       FROM toks GROUP BY doc_id, term),
+dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
+       FROM documents d LEFT JOIN toks t USING (doc_id)
+       GROUP BY d.doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n,
+                 (SELECT sum(dl) FROM dl) / count(*)::DOUBLE AS avgdl,
+                 (SELECT sum(dl) FROM dl) AS total_tf
+          FROM documents),
+df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df, count(*)::DOUBLE AS cf
+       FROM toks GROUP BY term),
+scored AS (
+  SELECT q.query_id, tf.doc_id, sum({{term_score}}) AS score
+  FROM q JOIN tf ON tf.term = q.term
+         JOIN df ON df.term = q.term
+         JOIN dl ON dl.doc_id = tf.doc_id
+         CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id)
+SELECT query_id, doc_id,
+  CAST(row_number() OVER (PARTITION BY query_id
+       ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank,
+  CAST(FLOOR(score * 1000000 + 0.5) AS BIGINT) AS score_1e6
+FROM scored QUALIFY rank < {TOP_K} ORDER BY query_id, rank
+"""
+
+# Lucene>=8 BM25, exact doc lengths (engine mode quantize_norms=False):
+# idf = ln(1+(N-df+0.5)/(df+0.5)); w = tf/(tf + k1*(1-b+b*dl/avgdl))
+_BM25_TERM = (
+    "ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+    "* tf.tf / (tf.tf + 0.9 * (1 - 0.4 + 0.4 * dl.dl / s.avgdl))"
+)
+# LMDirichlet (mu=1000), per-term clamp at 0 like Lucene's non-negative
+# score requirement:
+_QLD_TERM = (
+    "GREATEST(ln(1 + tf.tf / (1000.0 * df.cf / s.total_tf)) "
+    "+ ln(1000.0 / (dl.dl + 1000.0)), 0.0)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sw_list = ", ".join(
+        f"'{w}'"
+        for w in sorted(
+            __import__(
+                "patapsco_ray.text.stopwords", fromlist=["load_stopwords"]
+            ).load_stopwords("lucene", "eng")
+        )
+    )
+    return {
+        "bm25_topk": _RETRIEVAL_BASE.format(
+            values=_queries_values(), term_score=_BM25_TERM
+        ),
+        "qld_topk": _RETRIEVAL_BASE.format(
+            values=_queries_values(), term_score=_QLD_TERM
+        ),
+        "index_term_stats": f"""
+            WITH toks AS ({_TOKS})
+            SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+            FROM toks GROUP BY term""",
+        "index_doc_lengths": f"""
+            WITH toks AS ({_TOKS})
+            SELECT d.doc_id, count(t.term) AS dl
+            FROM documents d LEFT JOIN toks t USING (doc_id)
+            GROUP BY d.doc_id""",
+        "token_counts": r"""
+            SELECT doc_id,
+              len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+                AS n_tokens,
+              len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                AS n_tokens_bpe
+            FROM documents""",
+        "quality_signals": f"""
+            WITH toks AS ({_TOKS})
+            SELECT d.doc_id, length(d.text) AS n_chars,
+              count(t.term) AS n_tokens,
+              count(DISTINCT t.term) AS n_unique_tokens,
+              count(CASE WHEN t.term IN ({sw_list}) THEN 1 END) AS n_stopwords
+            FROM documents d LEFT JOIN toks t USING (doc_id)
+            GROUP BY d.doc_id, d.text""",
+        "exact_duplicates": """
+            SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+            FROM documents GROUP BY text""",
+        "ngram_jaccard_pairs": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+              FROM documents),
+            shl AS (
+              SELECT doc_id, CASE WHEN len(t) < 3
+                THEN [array_to_string(t, ' ')]
+                ELSE list_transform(range(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS shs
+              FROM toks WHERE len(t) > 0),
+            sh AS (SELECT DISTINCT doc_id, unnest(shs) AS sh FROM shl),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b, n_common, na.n AS n_a, nb.n AS n_b,
+              CAST(FLOOR(n_common * 1.0 / (na.n + nb.n - n_common) * 1000000
+                   + 0.5) AS BIGINT) AS jaccard_1e6
+            FROM pairs JOIN sizes na ON pairs.id_a = na.doc_id
+                       JOIN sizes nb ON pairs.id_b = nb.doc_id
+            WHERE n_common * 1.0 / (na.n + nb.n - n_common) >= 0.2""",
+        "cosine_topk": """
+            WITH q AS (SELECT 'q' || CAST(vec_id AS VARCHAR) AS query_id,
+                  embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 3),
+            c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+                  WHERE vec_id >= 3),
+            s AS (SELECT query_id, vec_id,
+                  CAST(FLOOR(list_cosine_similarity(qe, e) * 1000000 + 0.5)
+                       AS BIGINT) AS score_1e6 FROM q CROSS JOIN c)
+            SELECT query_id, vec_id, CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY score_1e6 DESC, vec_id) - 1
+                AS BIGINT) AS rank, score_1e6
+            FROM s QUALIFY rank < 5""",
+        "cosine_neardup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              CAST(FLOOR(list_cosine_similarity(a.embedding::DOUBLE[],
+                   b.embedding::DOUBLE[]) * 1000000 + 0.5) AS BIGINT)
+                AS score_1e6
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                  b.embedding::DOUBLE[]) >= 0.4""",
+    }

@@ -1,0 +1,196 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + BASELINE.md protocol).
+
+Default mode: ``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)``
+(default 32), run the headline pipelines, print ONE JSON line::
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N}
+
+Headline = the north-rule pipeline: inverted-index build (text chain ->
+segment postings -> global term merge) over a deterministic synthetic
+Common-Crawl-style corpus (input_hint schema; generated once under
+/tmp and reused), then BM25 top-k search, plus the training-data
+operators over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+
+``--scaling``: run the index build twice in FRESH subprocesses at
+num_cpus=N and 4N (default N=4, override with ``SCALE_N``) on the same
+corpus and report both throughputs plus scaling efficiency
+((thr_4N/thr_N)/4) — the sandbox stand-in for the N-vs-4N-node cluster
+criterion. N=4 is the default because this container exposes ~16-20
+effective cores: 8->32 would measure the hardware ceiling, not the
+engine (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pathlib
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = pathlib.Path(__file__).resolve().parent
+CORPUS_DIR = "/tmp/patapsco_bench_corpus"
+CORPUS_ROWS = 200_000
+CORPUS_FILES = 32
+ROWS_PER_SEGMENT = 3_125  # -> 64 segments: 2 waves at 32 cpus
+
+
+def ensure_corpus() -> list[str]:
+    from patapsco_ray.sources import generate_webpages
+
+    marker = pathlib.Path(CORPUS_DIR) / ".complete"
+    if marker.exists():
+        return sorted(str(p) for p in pathlib.Path(CORPUS_DIR).glob("*.parquet"))
+    shutil.rmtree(CORPUS_DIR, ignore_errors=True)
+    paths = generate_webpages(
+        CORPUS_DIR, CORPUS_ROWS, num_files=CORPUS_FILES, html_fraction=0.05
+    )
+    marker.touch()
+    return paths
+
+
+def run_headline(num_cpus: int, index_dir: str) -> dict:
+    """Index build + search timings; assumes ray is initialised."""
+    from patapsco_ray.index import build_index
+    from patapsco_ray.search import IndexSearcher
+    from patapsco_ray.text import TextConfig
+
+    paths = ensure_corpus()
+    shutil.rmtree(index_dir, ignore_errors=True)
+    cfg = TextConfig(stem="porter")  # full reference chain: normalize +
+    # tokenize + lucene stopwords (identify pre-stem, remove post-stem)
+    t0 = time.time()
+    manifest = build_index(
+        paths,
+        index_dir,
+        text_config=cfg,
+        rows_per_segment=ROWS_PER_SEGMENT,
+        concurrency=num_cpus,
+    )
+    build_s = time.time() - t0
+
+    searcher = IndexSearcher(index_dir)
+    qset = [
+        ("q1", "world state people government"),
+        ("q2", "work life time year"),
+        ("q3", "term00123 term04567"),
+        ("q4", "great little new old"),
+        ("q5", "men man day way"),
+    ]
+    t0 = time.time()
+    res = searcher.search_batch(qset, k=1000)
+    search_s = time.time() - t0
+    return {
+        "ndocs": manifest["ndocs"],
+        "build_sec": build_s,
+        "docs_per_sec": manifest["ndocs"] / build_s,
+        "search_sec": search_s,
+        "result_rows": res.num_rows,
+    }
+
+
+def run_sf_ops(sf_dir: str) -> dict:
+    """Training-data operator timings over the driver's sf tables."""
+    import ray.data
+
+    sys.path.insert(0, str(REPO))
+    import __ray_entry__ as entry
+
+    qs = entry.queries()
+    picks = [
+        "bm25_topk",
+        "token_counts",
+        "quality_signals",
+        "exact_duplicates",
+        "minhash_lsh_pairs",
+        "cosine_topk",
+    ]
+    out = {}
+    for name in picks:
+        t0 = time.time()
+        r = qs[name](sf_dir)
+        if isinstance(r, ray.data.Dataset):
+            r = r.materialize()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--headline-only", action="store_true")
+    args = ap.parse_args()
+
+    if args.scaling:
+        n = int(os.environ.get("SCALE_N", "4"))
+        levels = (n, 4 * n)
+        results = {}
+        for cpus in levels:
+            proc = subprocess.run(
+                [sys.executable, str(REPO / "bench.py"), "--headline-only",
+                 "--cpus", str(cpus)],
+                capture_output=True, text=True, timeout=3600,
+                env={**os.environ, "PYTHONPATH": str(REPO)},
+            )
+            line = proc.stdout.strip().splitlines()[-1]
+            results[cpus] = json.loads(line)
+        thr_lo = results[levels[0]]["queries"]["docs_per_sec"]
+        thr_hi = results[levels[1]]["queries"]["docs_per_sec"]
+        eff = (thr_hi / thr_lo) / 4.0
+        print(json.dumps({
+            "metric": f"index-build scaling efficiency ({levels[0]} -> "
+                      f"{levels[1]} cpus)",
+            "value": round(eff, 4),
+            "unit": "efficiency",
+            "queries": {
+                f"docs_per_sec_{levels[0]}cpu": round(thr_lo, 1),
+                f"docs_per_sec_{levels[1]}cpu": round(thr_hi, 1),
+                f"build_sec_{levels[0]}cpu":
+                    round(results[levels[0]]["queries"]["build_sec"], 2),
+                f"build_sec_{levels[1]}cpu":
+                    round(results[levels[1]]["queries"]["build_sec"], 2),
+            },
+            "sf": CORPUS_ROWS,
+            "num_cpus": levels[1],
+        }))
+        return
+
+    num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False)
+
+    t_all = time.time()
+    head = run_headline(num_cpus, f"/tmp/patapsco_bench_index_{num_cpus}")
+    queries = {
+        "index_build": round(head["build_sec"], 3),
+        "build_sec": round(head["build_sec"], 3),
+        "docs_per_sec": round(head["docs_per_sec"], 1),
+        "search_topk": round(head["search_sec"], 3),
+    }
+    if not args.headline_only:
+        queries.update(run_sf_ops(sf_dir))
+    total = time.time() - t_all
+    print(json.dumps({
+        "metric": "index-build + BM25 search + training-data ops wall time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

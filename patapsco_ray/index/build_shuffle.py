@@ -1,0 +1,451 @@
+"""Explicit groupby-term index build (the shuffle path).
+
+The aligned build (build.py) keeps postings partitioned by document and
+never moves them. This module is the other strategy the north rule
+names: explode processed docs into per-(term, input-block) posting
+fragments, then merge fragments into one global posting list per term
+with a Ray Data ``groupby`` — an all-to-all shuffle — with **explicit
+skew handling**: the groupby key is ``(term, salt)`` where
+``salt = global_ordinal // salt_range_rows``. Each salted group covers
+a disjoint, ascending ordinal range, so
+
+  * a Zipf head term (a stopword-like term touching nearly every doc —
+    the skew case called out in SURVEY.md §7.4) is split across
+    ``ndocs / salt_range_rows`` bounded groups instead of one giant
+    one, and
+  * the per-salt encoded chunks concatenate in salt order into the
+    final blocked posting list WITHOUT re-decoding, because every codec
+    block is independently decodable (its first ordinal is absolute,
+    codec.py).
+
+Fragments are pre-aggregated inside the map stage — one row per
+(term, input block), carrying packed ordinal/tf arrays — so the shuffle
+moves O(distinct terms x blocks) rows, not O(postings) rows.
+
+The output is a single segment in the standard layout (segment.py), so
+``IndexSearcher`` works on either strategy's index unchanged; tests
+assert rank/score identity between the two builds.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from ..sources.extract import extract_text
+from ..text import TextConfig, TextProcessor
+from .build import plan_segments
+from .norms import encode_lengths
+from .segment import TERMS_SCHEMA, DOCS_SCHEMA, write_manifest
+from .codec import encode_postings
+
+FRAGMENT_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("salt", pa.int64()),
+        ("base", pa.int64()),
+        ("ords", pa.large_binary()),   # int64 LE global ordinals, sorted
+        ("tfs", pa.large_binary()),    # int32 LE term frequencies
+        ("norms", pa.large_binary()),  # uint8 norm byte per posting
+    ]
+)
+
+
+class FragmentEmitter:
+    """Actor-pool stage: block descriptor -> posting fragments.
+
+    Also writes the block's doc rows (ordinal, doc_id, dl, norm) to
+    ``<index>/docs_parts/part-<block>.parquet`` as a side output so the
+    text chain runs exactly once per document.
+    """
+
+    def __init__(self, index_dir: str, text_config: TextConfig, lang: str,
+                 id_column: str, text_column: str, html_column: str | None,
+                 salt_range_rows: int):
+        self.index_dir = pathlib.Path(index_dir)
+        self.processor = TextProcessor(text_config, lang)
+        self.id_column = id_column
+        self.text_column = text_column
+        self.html_column = html_column
+        self.salt_range = salt_range_rows
+        (self.index_dir / "docs_parts").mkdir(parents=True, exist_ok=True)
+
+    def _emit_block(self, desc: dict, base: int) -> pa.Table:
+        import collections
+
+        columns = [self.id_column, self.text_column]
+        if self.html_column:
+            columns.append(self.html_column)
+        postings: dict[str, tuple[list, list]] = {}
+        doc_ids, doc_lens = [], []
+        ordinal = 0
+        for path, rgs in zip(desc["files"], desc["row_groups"]):
+            pf = pq.ParquetFile(path)
+            avail = [c for c in columns if c in pf.schema_arrow.names]
+            for batch in pf.iter_batches(batch_size=8192, row_groups=rgs,
+                                         columns=avail):
+                ids = batch.column(self.id_column).to_pylist()
+                texts = (batch.column(self.text_column).to_pylist()
+                         if self.text_column in batch.schema.names
+                         else [None] * len(ids))
+                htmls = (batch.column(self.html_column).to_pylist()
+                         if self.html_column
+                         and self.html_column in batch.schema.names
+                         else [None] * len(ids))
+                for doc_id, text, html in zip(ids, texts, htmls):
+                    processed = self.processor.process(
+                        extract_text(text, html))
+                    if processed is None:
+                        processed = ""  # keep ordinals aligned to input rows
+                    terms = processed.split()
+                    doc_ids.append(str(doc_id))
+                    doc_lens.append(len(terms))
+                    if terms:
+                        for term, tf in collections.Counter(terms).items():
+                            slot = postings.setdefault(term, ([], []))
+                            slot[0].append(ordinal)
+                            slot[1].append(tf)
+                    ordinal += 1
+
+        dl = np.asarray(doc_lens, dtype=np.int64)
+        norms = encode_lengths(dl)
+        part = pa.table(
+            {"doc_id": pa.array(doc_ids, pa.string()),
+             "dl": pa.array(dl), "norm": pa.array(norms)},
+            schema=DOCS_SCHEMA,
+        )
+        out = self.index_dir / "docs_parts" / f"part-{desc['seg_id']}.parquet"
+        tmp = out.with_suffix(".parquet.tmp")
+        pq.write_table(part, tmp)
+        tmp.rename(out)
+
+        f_term, f_salt, f_base, f_ords, f_tfs, f_norms = [], [], [], [], [], []
+        for term, (ords, tfs) in postings.items():
+            g = np.asarray(ords, dtype=np.int64) + base
+            t = np.asarray(tfs, dtype=np.int32)
+            nb = norms[np.asarray(ords, dtype=np.int64)]
+            salts = g // self.salt_range
+            # split at salt boundaries (g is ascending)
+            cuts = np.flatnonzero(np.diff(salts)) + 1
+            for gs, ts, ns in zip(np.split(g, cuts), np.split(t, cuts),
+                                  np.split(nb, cuts)):
+                f_term.append(term)
+                f_salt.append(int(gs[0] // self.salt_range))
+                f_base.append(int(gs[0]))
+                f_ords.append(gs.astype("<i8").tobytes())
+                f_tfs.append(ts.astype("<i4").tobytes())
+                f_norms.append(ns.astype(np.uint8).tobytes())
+        return pa.table(
+            {"term": pa.array(f_term, pa.string()),
+             "salt": pa.array(f_salt, pa.int64()),
+             "base": pa.array(f_base, pa.int64()),
+             "ords": pa.array(f_ords, pa.large_binary()),
+             "tfs": pa.array(f_tfs, pa.large_binary()),
+             "norms": pa.array(f_norms, pa.large_binary())},
+            schema=FRAGMENT_SCHEMA,
+        )
+
+    def __call__(self, batch) -> pa.Table:
+        if isinstance(batch, pa.Table):
+            batch = batch.to_pydict()
+        tables = []
+        for i in range(len(batch["seg_id"])):
+            desc = {
+                "seg_id": str(batch["seg_id"][i]),
+                "files": [str(f) for f in batch["files"][i]],
+                "row_groups": [[int(x) for x in r]
+                               for r in batch["row_groups"][i]],
+            }
+            tables.append(self._emit_block(desc, int(batch["base"][i])))
+        return pa.concat_tables(tables)
+
+
+def _run_boundaries(*keys: np.ndarray) -> np.ndarray:
+    """Start indices of equal-key runs over parallel sorted key arrays."""
+    n = len(keys[0])
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for k in keys:
+        change[1:] |= k[1:] != k[:-1]
+    return np.flatnonzero(change)
+
+
+def _encode_partition(grp: pa.Table) -> pa.Table:
+    """One hash partition of (term, salt) groups: merge each group's
+    fragments (ascending by base, disjoint ordinal ranges) and encode
+    into codec blocks. The whole partition is processed with local
+    array ops — one Ray group call per PARTITION, not per term."""
+    grp = grp.combine_chunks()
+    order = pa.compute.sort_indices(
+        grp.select(["term", "salt", "base"]),
+        sort_keys=[("term", "ascending"), ("salt", "ascending"),
+                   ("base", "ascending")],
+    )
+    grp = grp.take(order)
+    terms = np.asarray(grp.column("term").to_pylist(), dtype=object)
+    salts = grp.column("salt").to_numpy()
+    ords_b = grp.column("ords").to_pylist()
+    tfs_b = grp.column("tfs").to_pylist()
+    norms_b = grp.column("norms").to_pylist()
+    starts = _run_boundaries(terms, salts)
+    ends = np.append(starts[1:], len(terms))
+    out = {name: [] for name in (
+        "term", "salt", "df", "cf", "postings", "block_offsets",
+        "block_counts", "block_last", "block_max_tf", "block_min_norm")}
+    for s, e in zip(starts, ends):
+        ords = np.frombuffer(b"".join(ords_b[s:e]), dtype="<i8")
+        tfs = np.frombuffer(b"".join(tfs_b[s:e]), dtype="<i4").astype(np.int64)
+        norms = np.frombuffer(b"".join(norms_b[s:e]), dtype=np.uint8)
+        enc = encode_postings(ords, tfs, norms)
+        out["term"].append(terms[s])
+        out["salt"].append(int(salts[s]))
+        out["df"].append(len(ords))
+        out["cf"].append(int(tfs.sum()))
+        out["postings"].append(enc["postings"])
+        out["block_offsets"].append(enc["block_offsets"])
+        out["block_counts"].append(enc["block_counts"])
+        out["block_last"].append(enc["block_last"])
+        out["block_max_tf"].append(enc["block_max_tf"])
+        out["block_min_norm"].append(enc["block_min_norm"])
+    return pa.table({
+        "term": pa.array(list(out["term"]), pa.string()),
+        "salt": pa.array(out["salt"], pa.int64()),
+        "df": pa.array(out["df"], pa.int64()),
+        "cf": pa.array(out["cf"], pa.int64()),
+        "postings": pa.array(out["postings"], pa.large_binary()),
+        "block_offsets": pa.array(out["block_offsets"], pa.list_(pa.int32())),
+        "block_counts": pa.array(out["block_counts"], pa.list_(pa.int32())),
+        "block_last": pa.array(out["block_last"], pa.list_(pa.int64())),
+        "block_max_tf": pa.array(out["block_max_tf"], pa.list_(pa.int32())),
+        "block_min_norm": pa.array(out["block_min_norm"], pa.list_(pa.int32())),
+    })
+
+
+def _concat_partition(grp: pa.Table) -> pa.Table:
+    """One hash partition of terms: concatenate each term's salted
+    chunks in salt order, rebasing block byte offsets — no posting
+    bytes are re-decoded."""
+    grp = grp.combine_chunks()
+    order = pa.compute.sort_indices(
+        grp.select(["term", "salt"]),
+        sort_keys=[("term", "ascending"), ("salt", "ascending")],
+    )
+    grp = grp.take(order)
+    terms = np.asarray(grp.column("term").to_pylist(), dtype=object)
+    dfs = grp.column("df").to_numpy()
+    cfs = grp.column("cf").to_numpy()
+    blobs = grp.column("postings").to_pylist()
+    offs_l = grp.column("block_offsets").to_pylist()
+    counts_l = grp.column("block_counts").to_pylist()
+    lasts_l = grp.column("block_last").to_pylist()
+    maxtf_l = grp.column("block_max_tf").to_pylist()
+    minnorm_l = grp.column("block_min_norm").to_pylist()
+    starts = _run_boundaries(terms)
+    ends = np.append(starts[1:], len(terms))
+    out = {name: [] for name in (
+        "term", "df", "cf", "postings", "block_offsets", "block_counts",
+        "block_last", "block_max_tf", "block_min_norm")}
+    for s, e in zip(starts, ends):
+        offs, pos = [], 0
+        for i in range(s, e):
+            offs.extend(o + pos for o in offs_l[i])
+            pos += len(blobs[i])
+        out["term"].append(terms[s])
+        out["df"].append(int(dfs[s:e].sum()))
+        out["cf"].append(int(cfs[s:e].sum()))
+        out["postings"].append(b"".join(blobs[s:e]))
+        out["block_offsets"].append(offs)
+        out["block_counts"].append([c for i in range(s, e) for c in counts_l[i]])
+        out["block_last"].append([c for i in range(s, e) for c in lasts_l[i]])
+        out["block_max_tf"].append([c for i in range(s, e) for c in maxtf_l[i]])
+        out["block_min_norm"].append(
+            [c for i in range(s, e) for c in minnorm_l[i]])
+    return pa.table({
+        "term": pa.array(list(out["term"]), pa.string()),
+        "df": pa.array(out["df"], pa.int64()),
+        "cf": pa.array(out["cf"], pa.int64()),
+        "postings": pa.array(out["postings"], pa.large_binary()),
+        "block_offsets": pa.array(out["block_offsets"], pa.list_(pa.int32())),
+        "block_counts": pa.array(out["block_counts"], pa.list_(pa.int32())),
+        "block_last": pa.array(out["block_last"], pa.list_(pa.int64())),
+        "block_max_tf": pa.array(out["block_max_tf"], pa.list_(pa.int32())),
+        "block_min_norm": pa.array(out["block_min_norm"], pa.list_(pa.int32())),
+    }, schema=TERMS_SCHEMA)
+
+
+def build_index_shuffle(
+    paths: str | list[str],
+    index_dir: str | pathlib.Path,
+    *,
+    text_config: TextConfig = TextConfig(),
+    lang: str = "eng",
+    id_column: str = "url",
+    text_column: str = "text",
+    html_column: str | None = "html",
+    rows_per_block: int = 250_000,
+    salt_range_rows: int = 1 << 20,
+    concurrency: int | tuple[int, int] | None = None,
+) -> dict:
+    """Build a single-segment global index via the groupby-term shuffle.
+
+    At cluster scale prefer the aligned ``build_index`` (no shuffle);
+    use this when one global posting list per term is required (e.g. to
+    export the index, or when segments must not be consulted per
+    query). Resume granularity is the whole build (the shuffle has no
+    durable intermediate), which the manifest records as
+    ``strategy: shuffle`` with full input lineage.
+    """
+    if isinstance(paths, (str, pathlib.Path)):
+        p = pathlib.Path(paths)
+        paths = sorted(str(f) for f in p.glob("*.parquet")) if p.is_dir() else [str(p)]
+    index_dir = pathlib.Path(index_dir)
+    if index_dir.exists():
+        shutil.rmtree(index_dir)
+    index_dir.mkdir(parents=True)
+
+    blocks = plan_segments(paths, rows_per_block)
+    base = 0
+    items = []
+    for d in blocks:
+        items.append({"seg_id": d["seg_id"], "files": d["files"],
+                      "row_groups": d["row_groups"], "base": base})
+        base += d["rows"]
+
+    if concurrency is None:
+        avail = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = max(1, min(len(items), avail))
+
+    fragments = ray.data.from_items(items).map_batches(
+        FragmentEmitter,
+        fn_constructor_kwargs={
+            "index_dir": str(index_dir),
+            "text_config": text_config,
+            "lang": lang,
+            "id_column": id_column,
+            "text_column": text_column,
+            "html_column": html_column,
+            "salt_range_rows": salt_range_rows,
+        },
+        batch_size=1,
+        concurrency=concurrency,
+        num_cpus=1,
+        batch_format="pyarrow",
+    )
+
+    # Hash-partition ids: the shuffle groups by a SMALL partition key
+    # (2x task slots) and each partition task merges its terms with
+    # local vectorized ops — per-(term,salt) Ray group calls would
+    # dominate wall time (measured ~120s vs ~10s on 10k docs).
+    from ..functions.hashing import hash_strings
+
+    num_parts = (
+        max(2 * (concurrency if isinstance(concurrency, int)
+                 else concurrency[1]), 8)
+    )
+
+    def add_part1(tbl: pa.Table) -> pa.Table:
+        h = hash_strings(tbl.column("term").combine_chunks())
+        salt = tbl.column("salt").to_numpy().astype(np.uint64)
+        part = ((h ^ (salt * np.uint64(0x9E3779B97F4A7C15)))
+                % np.uint64(num_parts)).astype(np.int64)
+        return tbl.append_column("part", pa.array(part))
+
+    def add_part2(tbl: pa.Table) -> pa.Table:
+        h = hash_strings(tbl.column("term").combine_chunks())
+        part = (h % np.uint64(num_parts)).astype(np.int64)
+        return tbl.append_column("part", pa.array(part))
+
+    def drop_part(tbl: pa.Table) -> pa.Table:
+        return tbl.drop_columns(["part"])
+
+    merged = (
+        fragments.map_batches(add_part1, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lambda g: _encode_partition(drop_part(g)),
+                    batch_format="pyarrow")
+        .map_batches(add_part2, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lambda g: _concat_partition(drop_part(g)),
+                    batch_format="pyarrow")
+    )
+    seg = index_dir / "seg=g00000"
+    seg.mkdir()
+
+    # stream the term-sorted result into the segment file: driver holds
+    # one batch at a time, not the whole dictionary
+    nterms = 0
+    npostings = 0
+    with pq.ParquetWriter(seg / "terms.parquet", TERMS_SCHEMA) as w:
+        for batch in merged.sort("term").iter_batches(
+            batch_format="pyarrow", batch_size=4096
+        ):
+            t = batch.select(TERMS_SCHEMA.names).cast(TERMS_SCHEMA)
+            nterms += t.num_rows
+            npostings += int(t.column("df").to_numpy().sum())
+            w.write_table(t)
+
+    # assemble the ordinal-ordered doc table from the side outputs
+    part_files = sorted((index_dir / "docs_parts").glob("part-*.parquet"))
+    ndocs = 0
+    total_tf = 0
+    with pq.ParquetWriter(seg / "docs.parquet", DOCS_SCHEMA) as w:
+        for f in part_files:
+            t = pq.read_table(f)
+            ndocs += t.num_rows
+            total_tf += int(t.column("dl").to_numpy().sum())
+            w.write_table(t)
+    shutil.rmtree(index_dir / "docs_parts")
+    meta = {
+        "seg_id": "g00000",
+        "input_files": [f for d in blocks for f in d["files"]],
+        "row_groups": [list(r) for d in blocks for r in d["row_groups"]],
+        "input_rows": int(sum(d["rows"] for d in blocks)),
+        "ndocs": ndocs,
+        "rejected": 0,
+        "total_tf": total_tf,
+        "nterms": nterms,
+        "npostings": npostings,
+        "status": "complete",
+    }
+    (seg / "meta.json").write_text(__import__("json").dumps(meta, indent=1))
+
+    manifest = {
+        "version": 1,
+        "lang": lang,
+        "strategy": "shuffle",
+        "salt_range_rows": salt_range_rows,
+        "text_config": {
+            "tokenize": text_config.tokenize,
+            "stopwords": text_config.stopwords,
+            "stem": text_config.stem,
+            "lowercase": text_config.lowercase,
+        },
+        "segments": [{
+            "seg_id": "g00000",
+            "ndocs": meta["ndocs"],
+            "total_tf": meta["total_tf"],
+            "nterms": meta["nterms"],
+            "npostings": meta["npostings"],
+            "rejected": 0,
+            "base": 0,
+        }],
+        "ndocs": meta["ndocs"],
+        "total_tf": meta["total_tf"],
+        "avgdl": meta["total_tf"] / meta["ndocs"] if meta["ndocs"] else 0.0,
+    }
+    # global term stats are the segment's own term table
+    gt = index_dir / "global_terms"
+    gt.mkdir()
+    pq.write_table(
+        pq.read_table(seg / "terms.parquet", columns=["term", "df", "cf"]),
+        gt / "part-0.parquet",
+    )
+    write_manifest(index_dir, manifest)
+    return manifest
