@@ -49,7 +49,9 @@ from patapsco_ray.functions.multimodal import (
 )
 from patapsco_ray.index import build_index
 from patapsco_ray.search import IndexSearcher
+from patapsco_ray.stages import DocStore, process_documents, write_doc_store
 from patapsco_ray.text import TextConfig
+from patapsco_ray.text.stopwords import load_stopwords
 
 # ----------------------------------------------------------------- setup
 
@@ -70,6 +72,14 @@ RETRIEVAL_QUERIES: list[tuple[str, str]] = [
     ("q6", "data table column row"),
 ]
 TOP_K = 10  # north rule: BM25 top-10 rank identity
+
+# fixed PSQ clauses (weighted translation alternatives) over the same
+# vocabulary; scored with projected tf/df BM25 (search/psq.py)
+PSQ_CLAUSES: list[list[tuple[str, float]]] = [
+    [("join", 0.7), ("merge", 0.3)],
+    [("hash", 0.8), ("scan", 0.2)],
+    [("window", 1.0)],
+]
 
 _CACHE_ROOT = pathlib.Path("/tmp/patapsco_ray_cache")
 
@@ -145,6 +155,69 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- index build + retrieval (the reference's core pipeline) ---
     q["bm25_topk"] = lambda sf: _search(sf, "bm25")
     q["qld_topk"] = lambda sf: _search(sf, "qld")
+
+    def psq(sf: str):
+        searcher = IndexSearcher(_index_for(sf), quantize_norms=False)
+        rows = []
+        for hit in searcher.search_psq(PSQ_CLAUSES, k=TOP_K):
+            rows.append((hit["doc_id"], hit["rank"], hit["score"]))
+        return pa.table({
+            "doc_id": pa.array([int(d) for d, _, _ in rows], pa.int64()),
+            "rank": pa.array([r for _, r, _ in rows], pa.int64()),
+            "score_1e6": _scaled([s for _, _, s in rows]),
+        })
+
+    q["psq_topk"] = psq
+
+    def rm3(sf: str):  # rows-only: feedback weights not SQL-friendly
+        idx = _index_for(sf)
+        store_dir = _CACHE_ROOT / (
+            re.sub(r"[^A-Za-z0-9._-]", "_", str(sf).strip("/")) + "-store-v1"
+        )
+        if not (store_dir / ".complete").exists():
+            proc = process_documents(
+                _docs(sf), text_config=SQL_TEXT_CONFIG,
+                id_column="doc_id", html_column=None,
+            )
+            write_doc_store(proc, store_dir, num_buckets=8)
+            (store_dir / ".complete").touch()
+        from patapsco_ray.search import search_rm3
+
+        searcher = IndexSearcher(idx)
+        store = DocStore(store_dir)
+        rows = []
+        for qid, text in RETRIEVAL_QUERIES:
+            for hit in search_rm3(searcher, store, text, k=TOP_K):
+                rows.append((qid, hit["doc_id"], hit["rank"], hit["score"]))
+        return pa.table({
+            "query_id": pa.array([r[0] for r in rows], pa.string()),
+            "doc_id": pa.array([int(r[1]) for r in rows], pa.int64()),
+            "rank": pa.array([r[2] for r in rows], pa.int64()),
+            "score_1e6": _scaled([r[3] for r in rows]),
+        })
+
+    q["rm3_topk"] = rm3
+
+    def processed_counts(sf: str):
+        # full DocumentProcessor chain (stopword removal on) -> token
+        # counts; SQL oracle replicates tokenize+lower+stopword-filter
+        proc = process_documents(
+            _docs(sf), text_config=TextConfig(stopwords="lucene",
+                                              stem=False, lowercase=True),
+            id_column="doc_id", html_column=None,
+        )
+
+        def count(t: pa.Table) -> pa.Table:
+            texts = t.column("text").to_pylist()
+            return pa.table({
+                "doc_id": pa.compute.cast(t.column("doc_id"), pa.int64()),
+                "n_tokens_processed": pa.array(
+                    [len(x.split()) for x in texts], pa.int64()),
+            })
+
+        return proc.map_batches(count, batch_format="pyarrow")
+
+    q["processed_token_counts"] = processed_counts
 
     def term_stats(sf: str):
         idx = _index_for(sf)
@@ -294,14 +367,51 @@ _QLD_TERM = (
 )
 
 
+def _psq_values() -> str:
+    rows = []
+    for ci, clause in enumerate(PSQ_CLAUSES):
+        for term, prob in clause:
+            rows.append(f"({ci}, '{term}', {prob})")
+    return ", ".join(rows)
+
+
+_PSQ_SQL = f"""
+WITH c(clause_id, term, prob) AS (VALUES {{values}}),
+toks AS ({_TOKS}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+       FROM toks GROUP BY doc_id, term),
+dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
+       FROM documents d LEFT JOIN toks t USING (doc_id)
+       GROUP BY d.doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n,
+                 (SELECT sum(dl) FROM dl) / count(*)::DOUBLE AS avgdl
+          FROM documents),
+df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+       FROM toks GROUP BY term),
+proj AS (SELECT c.clause_id, tf.doc_id, sum(c.prob * tf.tf) AS tfp
+         FROM c JOIN tf ON tf.term = c.term GROUP BY 1, 2),
+dfp AS (SELECT c.clause_id, sum(c.prob * df.df) AS dfp
+        FROM c JOIN df ON df.term = c.term GROUP BY 1),
+scored AS (
+  SELECT p.doc_id,
+    sum(ln(1 + (s.n - dfp.dfp + 0.5) / (dfp.dfp + 0.5))
+        * p.tfp / (p.tfp + 0.9 * (1 - 0.4 + 0.4 * dl.dl / s.avgdl)))
+      AS score
+  FROM proj p JOIN dfp USING (clause_id)
+       JOIN dl ON dl.doc_id = p.doc_id
+       CROSS JOIN stats s
+  GROUP BY p.doc_id)
+SELECT doc_id,
+  CAST(row_number() OVER (ORDER BY score DESC, doc_id) - 1 AS BIGINT)
+    AS rank,
+  CAST(FLOOR(score * 1000000 + 0.5) AS BIGINT) AS score_1e6
+FROM scored QUALIFY rank < {TOP_K} ORDER BY rank
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     sw_list = ", ".join(
-        f"'{w}'"
-        for w in sorted(
-            __import__(
-                "patapsco_ray.text.stopwords", fromlist=["load_stopwords"]
-            ).load_stopwords("lucene", "eng")
-        )
+        f"'{w}'" for w in sorted(load_stopwords("lucene", "eng"))
     )
     return {
         "bm25_topk": _RETRIEVAL_BASE.format(
@@ -310,6 +420,14 @@ def oracle_sql() -> dict[str, str]:
         "qld_topk": _RETRIEVAL_BASE.format(
             values=_queries_values(), term_score=_QLD_TERM
         ),
+        "psq_topk": _PSQ_SQL.format(values=_psq_values()),
+        "processed_token_counts": f"""
+            WITH toks AS ({_TOKS})
+            SELECT d.doc_id,
+              count(CASE WHEN t.term NOT IN ({sw_list}) THEN 1 END)
+                AS n_tokens_processed
+            FROM documents d LEFT JOIN toks t USING (doc_id)
+            GROUP BY d.doc_id""",
         "index_term_stats": f"""
             WITH toks AS ({_TOKS})
             SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf

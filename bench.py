@@ -35,9 +35,11 @@ import time
 
 REPO = pathlib.Path(__file__).resolve().parent
 CORPUS_DIR = "/tmp/patapsco_bench_corpus"
-CORPUS_ROWS = 200_000
+CORPUS_ROWS = 400_000
 CORPUS_FILES = 32
-ROWS_PER_SEGMENT = 3_125  # -> 64 segments: 2 waves at 32 cpus
+ROWS_PER_SEGMENT = 2_048  # ~100 segments: fine-grained enough that
+# every CPU level runs multiple waves (load balance), coarse enough
+# that per-segment fixed costs stay small
 
 
 def ensure_corpus() -> list[str]:

@@ -327,23 +327,44 @@ def build_index(
     return manifest
 
 
+# below this many (segment, term) rows the global-stats merge runs as
+# a single local pyarrow aggregation; above it, a Ray Data groupby.
+# Ray's shuffle pays tens of seconds of fixed cost that only amortizes
+# when the term tables stop fitting one node.
+LOCAL_FINALIZE_ROWS = 20_000_000
+
+
 def finalize_index(index_dir, manifest: dict) -> None:
     """Merge per-segment term stats into global_terms/ shards.
 
-    A Ray Data groupby over (term, df, cf) across all segments — the
-    sorted streaming aggregation "merge" step. Output shards are
-    term-sorted parquet for predicate-pushdown lookups at query time.
+    The "sorted streaming aggregation" merge of (term, df, cf) across
+    segments. Scale-adaptive: a local vectorized pyarrow group-by when
+    the stats fit comfortably in one process (term-count metadata is
+    known from segment lineage), else a Ray Data groupby shuffle.
+    Output is term-sorted parquet for predicate-pushdown lookups.
     """
     index_dir = pathlib.Path(index_dir)
     seg_term_files = [
         str(index_dir / f"seg={s['seg_id']}" / "terms.parquet")
         for s in manifest["segments"]
     ]
+    total_rows = sum(s["nterms"] for s in manifest["segments"])
     out_dir = index_dir / "global_terms"
     if out_dir.exists():
         for f in out_dir.iterdir():
             f.unlink()
     out_dir.mkdir(parents=True, exist_ok=True)
+    if total_rows <= LOCAL_FINALIZE_ROWS:
+        tbl = pa.concat_tables(
+            pq.read_table(f, columns=["term", "df", "cf"])
+            for f in seg_term_files
+        )
+        agg = tbl.group_by("term").aggregate([("df", "sum"), ("cf", "sum")])
+        agg = agg.rename_columns(["term", "df", "cf"])
+        agg = agg.sort_by([("term", "ascending")])
+        pq.write_table(agg, out_dir / "part-0.parquet",
+                       row_group_size=1 << 16)
+        return
     ds = ray.data.read_parquet(seg_term_files, columns=["term", "df", "cf"])
     agg = ds.groupby("term").sum(["df", "cf"])
     # sum() names columns sum(df)/sum(cf); normalize names

@@ -1,0 +1,312 @@
+"""Config-driven end-to-end runs (the reference's Runner / JobBuilder).
+
+The reference builds a two-stage pipeline from a YAML/JSON config
+(/root/reference/patapsco/run.py:14-41, job.py:612-670):
+
+  stage 1: documents -> [database] -> index
+  stage 2: topics -> queries -> retrieve -> [rerank] -> run file [-> score]
+
+Here each stage is a Ray Data pipeline; artifacts land in a run
+directory mirroring the reference's layout (helpers.py:99-114):
+
+  <run path>/
+    index/            inverted index (resumable, per-segment lineage)
+    database/         doc store (when rerank or database requested)
+    <results file>    TREC run
+    scores.txt        metrics (when score.qrels given)
+    timing.json
+
+Resume: the index build resumes from segment lineage automatically;
+stage 2 is skipped entirely when the run file already exists — the
+reference's run-level .complete semantics (job.py:112-116).
+
+Config keys (dict or JSON/YAML-loadable path) — close to the
+reference's schema (schema.py) but flattened:
+
+  run:       {name, path, results="results.txt"}
+  documents: {input: {format: "parquet"|"jsonl"|"tsv"|"sgml",
+              path, lang="eng", id_column/text_column/html_column}}
+  text:      {tokenize="whitespace", stopwords="lucene", stem=False,
+              lowercase=True}
+  index:     {strategy: "aligned"|"shuffle", rows_per_segment}
+  database:  {enabled: bool}
+  topics:    {input: {format: "jsonl"|"tsv"|"sgml", path, lang,
+              source="original"}, fields: "title"}
+  queries:   optional explicit [[query_id, text], ...]
+  retrieve:  {name: "bm25"|"qld", k1, b, mu, number=1000, rm3: bool,
+              fb_terms, fb_docs, original_query_weight,
+              psq: {path, threshold}}
+  rerank:    {name: "mock"|"shell", script, extra_args}
+  score:     {qrels, metrics: ["map", "ndcg", ...]}
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import time
+
+import pyarrow as pa
+
+import ray.data
+
+from ..index import build_index, build_index_shuffle
+from ..results import evaluate, read_qrels, write_scores_file, write_trec_run
+from ..search import IndexSearcher, PSQGenerator
+from ..search.rm3 import search_rm3
+from ..sources import (
+    read_jsonl_documents,
+    read_jsonl_topics,
+    read_sgml_documents,
+    read_sgml_topics,
+    read_tsv_documents,
+    read_tsv_topics,
+    topics_to_queries,
+)
+from ..stages import (
+    DocStore,
+    MockReranker,
+    ShellReranker,
+    process_documents,
+    rerank_results,
+    write_doc_store,
+)
+from ..text import TextConfig
+
+
+def _load_config(config) -> dict:
+    if isinstance(config, (str, pathlib.Path)):
+        text = pathlib.Path(config).read_text()
+        try:
+            return json.loads(text)
+        except json.JSONDecodeError:
+            import re
+
+            # minimal YAML subset (key: value nesting by indentation)
+            raise ValueError(
+                "config files must be JSON in this build; got non-JSON "
+                f"content in {config}"
+            ) from None
+    return dict(config)
+
+
+def _text_config(cfg: dict) -> TextConfig:
+    t = cfg.get("text", {})
+    return TextConfig(
+        tokenize=t.get("tokenize", "whitespace"),
+        stopwords=t.get("stopwords", "lucene"),
+        stem=t.get("stem", False),
+        lowercase=t.get("lowercase", True),
+    )
+
+
+def _read_documents(cfg: dict) -> ray.data.Dataset:
+    d = cfg["documents"]["input"]
+    fmt = d.get("format", "parquet")
+    lang = d.get("lang", "eng")
+    if fmt == "parquet":
+        return ray.data.read_parquet(d["path"])
+    if fmt in ("jsonl", "json"):
+        return read_jsonl_documents(d["path"], lang)
+    if fmt in ("tsv", "msmarco"):
+        return read_tsv_documents(d["path"], lang)
+    if fmt == "sgml":
+        return read_sgml_documents(d["path"], lang)
+    raise ValueError(f"unknown documents format {fmt}")
+
+
+def _doc_columns(cfg: dict) -> dict:
+    d = cfg["documents"]["input"]
+    fmt = d.get("format", "parquet")
+    if fmt == "parquet":
+        return {
+            "id_column": d.get("id_column", "url"),
+            "text_column": d.get("text_column", "text"),
+            "html_column": d.get("html_column", "html"),
+        }
+    return {"id_column": "doc_id", "text_column": "text",
+            "html_column": None}
+
+
+def _read_topics(cfg: dict) -> pa.Table:
+    t = cfg["topics"]["input"]
+    fmt = t.get("format", "jsonl")
+    lang = t.get("lang", "eng")
+    if fmt in ("jsonl", "json"):
+        return read_jsonl_topics(t["path"], lang,
+                                 t.get("source", "original"),
+                                 t.get("qrels_lang"))
+    if fmt in ("tsv", "msmarco"):
+        return read_tsv_topics(t["path"], lang)
+    if fmt == "sgml":
+        return read_sgml_topics(t["path"], lang,
+                                t.get("strip_non_digits", False))
+    raise ValueError(f"unknown topics format {fmt}")
+
+
+class Runner:
+    """Library entry point (reference run.py:14-41): build from a
+    config dict, ``run()`` executes both stages."""
+
+    def __init__(self, config):
+        self.config = _load_config(config)
+        run = self.config.get("run", {})
+        self.run_path = pathlib.Path(
+            run.get("path") or f"runs/{run.get('name', 'run')}"
+        )
+        self.results_file = run.get("results", "results.txt")
+        self.timing: dict[str, float] = {}
+
+    def run(self) -> dict:
+        self.run_path.mkdir(parents=True, exist_ok=True)
+        results_path = self.run_path / self.results_file
+        cfg = self.config
+        tconf = _text_config(cfg)
+        lang = cfg.get("documents", {}).get("input", {}).get("lang", "eng")
+        cols = _doc_columns(cfg)
+
+        # ---- stage 1: index (+ doc store) ----
+        t0 = time.time()
+        index_dir = self.run_path / "index"
+        builder = (
+            build_index_shuffle
+            if cfg.get("index", {}).get("strategy") == "shuffle"
+            else build_index
+        )
+        kwargs = dict(text_config=tconf, lang=lang, **cols)
+        rps = cfg.get("index", {}).get("rows_per_segment")
+        if rps:
+            key = ("rows_per_block" if builder is build_index_shuffle
+                   else "rows_per_segment")
+            kwargs[key] = rps
+        src = cfg["documents"]["input"]
+        if src.get("format", "parquet") == "parquet":
+            manifest = builder(src["path"], index_dir, **kwargs)
+        else:
+            # non-parquet sources are staged through parquet first so
+            # the index build gets splittable, resumable input
+            staged = self.run_path / "staged_docs"
+            if not (staged / ".complete").exists():
+                _read_documents(cfg).write_parquet(str(staged))
+                (staged / ".complete").touch()
+            manifest = builder(str(staged), index_dir, **kwargs)
+        self.timing["index"] = time.time() - t0
+
+        need_store = "rerank" in cfg or cfg.get("database", {}).get("enabled")
+        store_dir = self.run_path / "database"
+        if need_store and not (store_dir / ".complete").exists():
+            t0 = time.time()
+            proc = process_documents(
+                _read_documents(cfg), text_config=tconf, lang=lang,
+                **{k: v for k, v in cols.items()},
+            )
+            write_doc_store(proc, store_dir)
+            (store_dir / ".complete").touch()
+            self.timing["database"] = time.time() - t0
+
+        # ---- stage 2: topics -> queries -> retrieve -> rerank ----
+        if results_path.exists():  # run-level resume (job.py:112-116)
+            return {"run_path": str(self.run_path),
+                    "results": str(results_path), "resumed": True,
+                    "manifest": manifest}
+        t0 = time.time()
+        if "queries" in cfg:
+            queries = [(str(q), t) for q, t in cfg["queries"]]
+        else:
+            topics = _read_topics(cfg)
+            qt = topics_to_queries(topics,
+                                   cfg["topics"].get("fields", "title"))
+            queries = list(zip(qt.column("query_id").to_pylist(),
+                               qt.column("query").to_pylist()))
+
+        ret = cfg.get("retrieve", {})
+        k = ret.get("number", 1000)
+        searcher = IndexSearcher(
+            index_dir,
+            scorer=ret.get("name", "bm25"),
+            k1=ret.get("k1", 0.9), b=ret.get("b", 0.4),
+            mu=ret.get("mu", 1000.0),
+        )
+        if ret.get("psq"):
+            gen = PSQGenerator(searcher.processor, ret["psq"]["path"],
+                               ret["psq"].get("threshold", 0.97))
+            rows = []
+            for qid, text in queries:
+                for hit in searcher.search_psq(gen.generate(text), k):
+                    rows.append((qid, hit["doc_id"], hit["rank"],
+                                 hit["score"]))
+            results = _rows_table(rows)
+        elif ret.get("rm3"):
+            store = DocStore(store_dir) if need_store else None
+            if store is None:
+                raise ValueError("rm3 requires database.enabled")
+            rows = []
+            for qid, text in queries:
+                for hit in search_rm3(
+                    searcher, store, text, k=k,
+                    fb_terms=ret.get("fb_terms", 10),
+                    fb_docs=ret.get("fb_docs", 10),
+                    original_query_weight=ret.get(
+                        "original_query_weight", 0.5),
+                ):
+                    rows.append((qid, hit["doc_id"], hit["rank"],
+                                 hit["score"]))
+            results = _rows_table(rows)
+        else:
+            results = searcher.search_batch(queries, k=k)
+        self.timing["retrieve"] = time.time() - t0
+
+        rr = cfg.get("rerank")
+        if rr:
+            t0 = time.time()
+            if rr.get("name", "mock") == "mock":
+                cls, ckw = MockReranker, {"store_path": str(store_dir)}
+            else:
+                cls = ShellReranker
+                ckw = {"store_path": str(store_dir),
+                       "script": rr["script"],
+                       "doc_lang": lang,
+                       "query_lang": cfg.get("topics", {}).get(
+                           "input", {}).get("lang", lang),
+                       "extra_args": rr.get("extra_args")}
+            results = pa.concat_tables(
+                ray.get(
+                    rerank_results(
+                        ray.data.from_arrow(results), cls,
+                        constructor_kwargs=ckw,
+                    ).to_arrow_refs()
+                ),
+                promote_options="default",
+            )
+            self.timing["rerank"] = time.time() - t0
+
+        write_trec_run(results, results_path,
+                       system=cfg.get("run", {}).get("name", "patapsco_ray"))
+
+        out = {"run_path": str(self.run_path), "results": str(results_path),
+               "resumed": False, "manifest": manifest}
+
+        sc = cfg.get("score")
+        if sc:
+            qrels = read_qrels(sc["qrels"])
+            per_query = evaluate(qrels, results,
+                                 sc.get("metrics", ["map", "ndcg"]))
+            write_scores_file(per_query, self.run_path / "scores.txt")
+            out["scores"] = str(self.run_path / "scores.txt")
+
+        (self.run_path / "timing.json").write_text(
+            json.dumps(self.timing, indent=1))
+        return out
+
+
+def _rows_table(rows) -> pa.Table:
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.string()),
+        "doc_id": pa.array([r[1] for r in rows], pa.string()),
+        "rank": pa.array([r[2] for r in rows], pa.int32()),
+        "score": pa.array([r[3] for r in rows], pa.float64()),
+    })
+
+
+def run_pipeline(config) -> dict:
+    return Runner(config).run()

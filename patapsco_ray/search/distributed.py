@@ -1,0 +1,162 @@
+"""Distributed retrieval as a Ray Data pipeline.
+
+``IndexSearcher`` serves one process; this module fans a query set out
+across the cluster. Two axes (both Dataset pipelines — Ray schedules,
+retries, and backpressures):
+
+- ``search_dataset``: partition by QUERIES. Each actor holds a full
+  searcher (norms cached per actor, term postings fetched per query
+  via parquet predicate pushdown) and processes a batch of queries.
+  Right when the index's per-segment norm tables fit one node —
+  queries are embarrassingly parallel.
+
+- ``search_dataset_by_segment``: partition by (query-batch x SEGMENT).
+  Each task scores one segment slice and a groupby(query_id) merges
+  per-segment candidate lists with the (score desc, global ordinal
+  asc) tie-break. Right at 10^12-doc scale where no node holds every
+  segment; the shuffle payload is only k rows per (query, segment).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .engine import DEFAULT_K, IndexSearcher, lookup_global_stats, process_query
+
+
+class _QuerySearcher:
+    def __init__(self, index_dir: str, k: int, **searcher_kwargs):
+        self.searcher = IndexSearcher(index_dir, **searcher_kwargs)
+        self.k = k
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        queries = list(zip(
+            [str(q) for q in tbl.column("query_id").to_pylist()],
+            tbl.column("query").to_pylist(),
+        ))
+        return self.searcher.search_batch(queries, k=self.k)
+
+
+def search_dataset(
+    queries: ray.data.Dataset | pa.Table,
+    index_dir: str,
+    *,
+    k: int = DEFAULT_K,
+    concurrency: int | tuple[int, int] = (1, 8),
+    batch_size: int = 32,
+    **searcher_kwargs,
+) -> ray.data.Dataset:
+    """Query-partitioned distributed search; input needs columns
+    (query_id, query); output is the flat results table."""
+    if isinstance(queries, pa.Table):
+        queries = ray.data.from_arrow(queries)
+    return queries.map_batches(
+        _QuerySearcher,
+        fn_constructor_kwargs={"index_dir": index_dir, "k": k,
+                               **searcher_kwargs},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class _SegmentSearcher:
+    """Scores one segment for a broadcast query set."""
+
+    def __init__(self, index_dir: str, queries_ref, k: int,
+                 **searcher_kwargs):
+        self.searcher = IndexSearcher(index_dir, **searcher_kwargs)
+        self.k = k
+        # queries are broadcast once via ray.put, not reshipped per task
+        qlist = ray.get(queries_ref)
+        self.qterms = []
+        for qid, text in qlist:
+            terms = process_query(text, self.searcher.processor)
+            counts: dict[str, int] = {}
+            for t in terms:
+                counts[t] = counts.get(t, 0) + 1
+            self.qterms.append((qid, counts))
+        all_terms = sorted({t for _, c in self.qterms for t in c})
+        self.gstats = lookup_global_stats(index_dir, all_terms)
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        out_q, out_d, out_o, out_s = [], [], [], []
+        for seg_idx in tbl.column("seg_index").to_pylist():
+            seg = self.searcher.manifest["segments"][int(seg_idx)]
+            ss = self.searcher._segment(seg)
+            for qid, counts in self.qterms:
+                if not counts:
+                    continue
+                ords, scores = ss.score(counts, self.searcher.scorer,
+                                        self.gstats, self.k)
+                if ords.size == 0:
+                    continue
+                doc_ids = ss.doc_ids_for(ords)
+                base = seg["base"]
+                out_q.extend([qid] * len(ords))
+                out_d.extend(doc_ids)
+                out_o.extend((base + ords).tolist())
+                out_s.extend(scores.tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.string()),
+            "doc_id": pa.array(out_d, pa.string()),
+            "global_ordinal": pa.array(out_o, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        })
+
+
+def search_dataset_by_segment(
+    queries: pa.Table | list[tuple[str, str]],
+    index_dir: str,
+    *,
+    k: int = DEFAULT_K,
+    concurrency: int | tuple[int, int] = (1, 8),
+    **searcher_kwargs,
+) -> ray.data.Dataset:
+    """Segment-partitioned distributed search with a groupby merge."""
+    if isinstance(queries, pa.Table):
+        qlist = list(zip(
+            [str(q) for q in queries.column("query_id").to_pylist()],
+            queries.column("query").to_pylist(),
+        ))
+    else:
+        qlist = list(queries)
+    qref = ray.put(qlist)
+    manifest = IndexSearcher(index_dir).manifest
+    seg_ds = ray.data.from_items(
+        [{"seg_index": i} for i in range(len(manifest["segments"]))]
+    )
+    per_segment = seg_ds.map_batches(
+        _SegmentSearcher,
+        fn_constructor_kwargs={"index_dir": index_dir, "queries_ref": qref,
+                               "k": k, **searcher_kwargs},
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=concurrency,
+    )
+
+    def merge(grp: pa.Table) -> pa.Table:
+        rows = list(zip(
+            [-s for s in grp.column("score").to_pylist()],
+            grp.column("global_ordinal").to_pylist(),
+            grp.column("doc_id").to_pylist(),
+        ))
+        top = heapq.nsmallest(k, rows)
+        n = len(top)
+        return pa.table({
+            "query_id": grp.column("query_id").slice(0, 1).take(
+                pa.array(np.zeros(n, dtype=np.int64))),
+            "doc_id": pa.array([d for _, _, d in top], pa.string()),
+            "rank": pa.array(np.arange(n, dtype=np.int32)),
+            "score": pa.array([-negs for negs, _, _ in top], pa.float64()),
+        })
+
+    return per_segment.groupby("query_id").map_groups(
+        merge, batch_format="pyarrow"
+    )

@@ -164,6 +164,10 @@ class SegmentScorer:
                         tfs, self.lens[ords], stat, qtf)
                 scores[ords] += contrib
                 matched[ords] = True
+        return self._topk(scores, matched, k)
+
+    def _topk(self, scores: np.ndarray, matched: np.ndarray, k: int
+              ) -> tuple[np.ndarray, np.ndarray]:
         cand = np.flatnonzero(matched)
         if cand.size == 0:
             return cand.astype(np.int64), np.empty(0, dtype=np.float64)
@@ -173,6 +177,55 @@ class SegmentScorer:
             cand, cscores = cand[part], cscores[part]
         order = np.lexsort((cand, -cscores))
         return cand[order].astype(np.int64), cscores[order]
+
+    def score_psq(
+        self,
+        clauses: list[list[tuple[str, float]]],
+        scorer,
+        global_stats: dict[str, tuple[int, int]],
+        k: int,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Probabilistic Structured Query scoring (Darwish & Oard 2003,
+        the semantics of the reference's PSQ searcher jar,
+        retrieve.py:24-58): per weighted-OR clause the projected
+        tf(d) = sum prob*tf(t,d) and projected df = sum prob*df(t)
+        feed the ordinary Lucene BM25 formula; clause scores sum.
+        Verified against the reference's golden scores
+        (tests/test_psq.py:38-67: 0.5117189 @ k1=1.2,b=0.75)."""
+        scores = np.zeros(self.ndocs, dtype=np.float64)
+        matched = np.zeros(self.ndocs, dtype=bool)
+        wanted = sorted({t for clause in clauses for t, _ in clause
+                         if t in global_stats})
+        if not wanted:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        tbl = read_terms(self.index_dir, self.seg_id, terms=wanted)
+        rows = {r["term"]: r for r in tbl.to_pylist()}
+        for clause in clauses:
+            present = [(t, p) for t, p in clause if t in global_stats]
+            if not present:
+                continue
+            df_proj = sum(p * global_stats[t][0] for t, p in present)
+            tfp = np.zeros(self.ndocs, dtype=np.float64)
+            for term, prob in present:
+                row = rows.get(term)
+                if row is None:
+                    continue
+                ords, tfs = decode_postings(
+                    row["postings"], row["block_offsets"], row["block_counts"]
+                )
+                tfp[ords] += prob * tfs
+            mask = tfp > 0
+            if not mask.any():
+                continue
+            idf = scorer.idf(df_proj)
+            tf_m = tfp[mask]
+            if self.quantize_norms:
+                denom = scorer.denom_for_norms(self.norms[mask])
+            else:
+                denom = scorer.denom_for_dl(self.lens[mask])
+            scores[mask] += idf * tf_m / (tf_m + denom)
+            matched |= mask
+        return self._topk(scores, matched, k)
 
 
 class IndexSearcher:
@@ -225,11 +278,43 @@ class IndexSearcher:
         qterms: dict[str, int] = {}
         for t in terms:
             qterms[t] = qterms.get(t, 0) + 1
-        gstats = lookup_global_stats(self.index_dir, list(qterms))
+        return self.search_weighted(qterms, k)
+
+    def search_weighted(self, weights: dict[str, float], k: int = DEFAULT_K
+                        ) -> list[dict]:
+        """Top-k for pre-processed weighted query terms (weight = query
+        term frequency for plain queries, a float for RM3-expanded
+        queries)."""
+        if not weights:
+            return []
+        gstats = lookup_global_stats(self.index_dir, list(weights))
+        return self._merge_segments(
+            lambda ss: ss.score(weights, self.scorer, gstats, k), k
+        )
+
+    def search_psq(self, query: "str | list[list[tuple[str, float]]]",
+                   k: int = DEFAULT_K) -> list[dict]:
+        """PSQ search: weighted-translation clauses combined with
+        projected-statistics BM25 (reference retrieve.py:134-138
+        searchPsq path; query syntax built at topics.py:433-442).
+        Accepts either parsed clauses or the reference's query string
+        ``psq AND (t1^p1 t2^p2) AND (...)``."""
+        from .psq import parse_psq_query
+
+        clauses = parse_psq_query(query) if isinstance(query, str) else query
+        if not clauses:
+            return []
+        terms = sorted({t for c in clauses for t, _ in c})
+        gstats = lookup_global_stats(self.index_dir, terms)
+        return self._merge_segments(
+            lambda ss: ss.score_psq(clauses, self.scorer, gstats, k), k
+        )
+
+    def _merge_segments(self, seg_fn, k: int) -> list[dict]:
         candidates: list[tuple] = []
         for seg in self.manifest["segments"]:
             ss = self._segment(seg)
-            ords, scores = ss.score(qterms, self.scorer, gstats, k)
+            ords, scores = seg_fn(ss)
             if ords.size == 0:
                 continue
             doc_ids = ss.doc_ids_for(ords)

@@ -73,6 +73,14 @@ class BM25Scorer:
         denom = tf + self.k1 * ((1.0 - self.b) + self.b * dls / avgdl)
         return (qtf * self.idf(df)) * (tf / denom)
 
+    def denom_for_norms(self, norm_bytes: np.ndarray) -> np.ndarray:
+        """k1*(1-b+b*dl_q/avgdl) per posting from quantized norm bytes."""
+        return self.norm_cache[norm_bytes]
+
+    def denom_for_dl(self, dls: np.ndarray) -> np.ndarray:
+        avgdl = self.stats.avgdl if self.stats.avgdl > 0 else 1.0
+        return self.k1 * ((1.0 - self.b) + self.b * dls / avgdl)
+
     def max_block_score(self, max_tf: int, min_norm_byte: int, df: int,
                         qtf: int = 1) -> float:
         """Upper bound of this term's score within a block (block-max)."""

@@ -115,7 +115,7 @@ def generate_webpages(
             }
         )
         path = out_dir / f"pages-{fi:05d}.parquet"
-        pq.write_table(table, path, row_group_size=65536)
+        pq.write_table(table, path, row_group_size=2048)
         paths.append(str(path))
         row0 += n
     return paths

@@ -1,0 +1,124 @@
+"""End-to-end config-driven runs (Runner) and distributed search."""
+
+import json
+
+import pyarrow as pa
+import pytest
+
+from patapsco_ray.index import build_index
+from patapsco_ray.pipelines import run_pipeline
+from patapsco_ray.results import read_trec_run
+from patapsco_ray.search import (
+    IndexSearcher,
+    search_dataset,
+    search_dataset_by_segment,
+)
+from patapsco_ray.sources import generate_webpages
+from patapsco_ray.text import TextConfig
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("runner_corpus")
+    generate_webpages(d, 1500, num_files=2)
+    return str(d)
+
+
+def test_runner_end_to_end(corpus_dir, tmp_path):
+    qrels_path = tmp_path / "qrels.txt"
+    run_path = tmp_path / "run1"
+    config = {
+        "run": {"name": "e2e", "path": str(run_path)},
+        "documents": {"input": {"format": "parquet", "path": corpus_dir,
+                                "lang": "eng"}},
+        "text": {"stem": "porter"},
+        "index": {"rows_per_segment": 600},
+        "database": {"enabled": True},
+        "queries": [["q1", "world state people"], ["q2", "work life year"]],
+        "retrieve": {"name": "bm25", "number": 20},
+        "rerank": {"name": "mock"},
+    }
+    out = run_pipeline(config)
+    assert not out["resumed"]
+    run = read_trec_run(out["results"])
+    assert run.num_rows == 40
+    assert set(run.column("query_id").to_pylist()) == {"q1", "q2"}
+    # ranks contiguous from 0 per query
+    q1 = run.filter(pa.compute.equal(run.column("query_id"), "q1"))
+    assert q1.column("rank").to_pylist() == list(range(20))
+
+    # scoring pass with qrels built from the run's own top docs
+    top_doc = q1.column("doc_id")[0].as_py()
+    qrels_path.write_text(f"q1 0 {top_doc} 1\nq2 0 nonexistent 1\n")
+    config2 = dict(config)
+    config2["run"] = {"name": "e2e", "path": str(tmp_path / "run2")}
+    config2["score"] = {"qrels": str(qrels_path),
+                        "metrics": ["map", "ndcg'", "recall@10"]}
+    out2 = run_pipeline(config2)
+    scores = (tmp_path / "run2" / "scores.txt").read_text()
+    assert "map" in scores and "all" in scores
+
+    # run-level resume: rerunning with existing results is a no-op
+    out3 = run_pipeline(config)
+    assert out3["resumed"]
+
+
+def test_runner_jsonl_source_and_shuffle(tmp_path):
+    docs = tmp_path / "docs.jsonl"
+    docs.write_text("\n".join(
+        json.dumps({"id": f"d{i}", "title": f"doc {i}",
+                    "text": "alpha beta gamma " * (i + 1),
+                    "date": "2020-01-01"})
+        for i in range(20)
+    ) + "\n")
+    config = {
+        "run": {"path": str(tmp_path / "run")},
+        "documents": {"input": {"format": "jsonl", "path": str(docs)}},
+        "index": {"strategy": "shuffle"},
+        "queries": [["q1", "alpha beta"]],
+        "retrieve": {"number": 5},
+    }
+    out = run_pipeline(config)
+    run = read_trec_run(out["results"])
+    assert run.num_rows == 5
+    assert out["manifest"]["strategy"] == "shuffle"
+
+
+@pytest.fixture(scope="module")
+def small_index(corpus_dir, tmp_path_factory):
+    idx = tmp_path_factory.mktemp("dist") / "idx"
+    build_index(corpus_dir, idx, text_config=TextConfig(stem="porter"),
+                rows_per_segment=500)
+    return str(idx)
+
+
+def test_search_dataset_matches_local(small_index):
+    queries = pa.table({
+        "query_id": ["a", "b"],
+        "query": ["world state people", "work life year"],
+    })
+    dist = search_dataset(queries, small_index, k=10,
+                          concurrency=2).to_pandas()
+    local = IndexSearcher(small_index)
+    for qid, qtext in zip(queries.column("query_id").to_pylist(),
+                          queries.column("query").to_pylist()):
+        want = [(h["doc_id"], h["rank"]) for h in local.search(qtext, k=10)]
+        got = dist[dist["query_id"] == qid].sort_values("rank")
+        assert list(zip(got["doc_id"], got["rank"])) == want
+
+
+def test_search_by_segment_matches_local(small_index):
+    queries = pa.table({
+        "query_id": ["a", "b"],
+        "query": ["world state people", "work life year"],
+    })
+    dist = search_dataset_by_segment(queries, small_index, k=10,
+                                     concurrency=2).to_pandas()
+    local = IndexSearcher(small_index)
+    for qid, qtext in zip(queries.column("query_id").to_pylist(),
+                          queries.column("query").to_pylist()):
+        want = [(h["doc_id"], round(h["score"], 9))
+                for h in local.search(qtext, k=10)]
+        got = dist[dist["query_id"] == qid].sort_values("rank")
+        assert [(d, round(s, 9)) for d, s in
+                zip(got["doc_id"], got["score"])] == want
