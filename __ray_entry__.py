@@ -42,6 +42,11 @@ from patapsco_ray.functions import (
     simhash_pairs,
     token_counts,
 )
+from patapsco_ray.functions import (
+    sessionize,
+    topk_by_key,
+    tumbling_window_agg,
+)
 from patapsco_ray.functions.multimodal import (
     decode_images,
     extract_audio_features,
@@ -286,6 +291,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["lsh_cosine_topk"] = lsh_topk  # rows-only (approximate)
 
+    # --- event-stream operators (windowed/sessionized aggregates) ---
+    def _events(sf: str):
+        return ray.data.read_parquet(f"{sf}/events.parquet")
+
+    q["window_agg"] = lambda sf: tumbling_window_agg(_events(sf),
+                                                     window="1h")
+    q["sessionize"] = lambda sf: sessionize(_events(sf), gap="30m")
+    q["topk_by_key"] = lambda sf: topk_by_key(_events(sf), k=3)
+
     # --- multimodal plumbing (deterministic fake decode backend) ---
     def _with_binary(sf: str, col: str) -> ray.data.Dataset:
         def add(t: pa.Table) -> pa.Table:
@@ -455,6 +469,39 @@ def oracle_sql() -> dict[str, str]:
         "exact_duplicates": """
             SELECT min(doc_id) AS keep_id, count(*) AS n_copies
             FROM documents GROUP BY text""",
+        "window_agg": """
+            SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+              event_type, count(*) AS n_events,
+              CAST(FLOOR(sum(value)*1000000 + 0.5) AS BIGINT)
+                AS sum_value_1e6,
+              CAST(FLOOR(min(value)*1000000 + 0.5) AS BIGINT)
+                AS min_value_1e6,
+              CAST(FLOOR(max(value)*1000000 + 0.5) AS BIGINT)
+                AS max_value_1e6
+            FROM events GROUP BY 1, 2""",
+        "sessionize": """
+            WITH o AS (
+              SELECT user_id, ts,
+                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                     ORDER BY ts) > INTERVAL 30 MINUTE OR
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       IS NULL
+                THEN 1 ELSE 0 END AS new_s
+              FROM events),
+            s AS (SELECT user_id, ts,
+                  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) - 1
+                    AS sid
+                  FROM o)
+            SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+                   count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end
+            FROM s GROUP BY 1, 2""",
+        "topk_by_key": """
+            SELECT event_type, event_id,
+              CAST(row_number() OVER (PARTITION BY event_type
+                   ORDER BY value DESC, event_id) - 1 AS BIGINT) AS rank,
+              CAST(FLOOR(value*1000000 + 0.5) AS BIGINT) AS value_1e6
+            FROM events QUALIFY rank < 3""",
         "ngram_jaccard_pairs": f"""
             WITH toks AS (
               SELECT doc_id,

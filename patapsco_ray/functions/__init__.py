@@ -23,6 +23,7 @@ from .dedup import (
     simhash_pairs,
 )
 from .similarity import cosine_topk, cosine_neardup_pairs, lsh_cosine_topk
+from .windows import sessionize, topk_by_key, tumbling_window_agg
 
 __all__ = [
     "token_counts",
@@ -36,4 +37,7 @@ __all__ = [
     "cosine_topk",
     "cosine_neardup_pairs",
     "lsh_cosine_topk",
+    "sessionize",
+    "topk_by_key",
+    "tumbling_window_agg",
 ]

@@ -75,19 +75,59 @@ from ..text import TextConfig
 
 
 def _load_config(config) -> dict:
+    """Load + preprocess a config: YAML/JSON files, ``inherit:``
+    section inheritance (reference config.py:444-490) and ``{a.b}``
+    string interpolation (config.py:331-406)."""
     if isinstance(config, (str, pathlib.Path)):
         text = pathlib.Path(config).read_text()
         try:
-            return json.loads(text)
+            cfg = json.loads(text)
         except json.JSONDecodeError:
-            import re
+            import yaml
 
-            # minimal YAML subset (key: value nesting by indentation)
-            raise ValueError(
-                "config files must be JSON in this build; got non-JSON "
-                f"content in {config}"
-            ) from None
-    return dict(config)
+            cfg = yaml.safe_load(text)
+    else:
+        cfg = dict(config)
+    cfg = _apply_inheritance(cfg)
+    return _interpolate(cfg, cfg)
+
+
+def _apply_inheritance(cfg, root=None):
+    """``inherit: other.section`` merges that section's keys under the
+    current one (explicit keys win) — reference config.py:444-490."""
+    if root is None:
+        root = cfg
+    if isinstance(cfg, dict):
+        out = {k: _apply_inheritance(v, root) for k, v in cfg.items()
+               if k != "inherit"}
+        if "inherit" in cfg:
+            node = root
+            for part in str(cfg["inherit"]).split("."):
+                node = node[part]
+            for k, v in node.items():
+                out.setdefault(k, _apply_inheritance(v, root))
+        return out
+    if isinstance(cfg, list):
+        return [_apply_inheritance(v, root) for v in cfg]
+    return cfg
+
+
+def _interpolate(node, root):
+    if isinstance(node, dict):
+        return {k: _interpolate(v, root) for k, v in node.items()}
+    if isinstance(node, list):
+        return [_interpolate(v, root) for v in node]
+    if isinstance(node, str):
+        import re
+
+        def repl(m):
+            cur = root
+            for part in m.group(1).split("."):
+                cur = cur[part]
+            return str(cur)
+
+        return re.sub(r"\{([A-Za-z0-9_.]+)\}", repl, node)
+    return node
 
 
 def _text_config(cfg: dict) -> TextConfig:
@@ -101,9 +141,14 @@ def _text_config(cfg: dict) -> TextConfig:
 
 
 def _read_documents(cfg: dict) -> ray.data.Dataset:
+    from .. import registry
+
     d = cfg["documents"]["input"]
     fmt = d.get("format", "parquet")
     lang = d.get("lang", "eng")
+    custom = registry.resolve("documents", fmt)
+    if custom is not None:  # user-registered reader (registry.py)
+        return custom(d["path"], lang)
     if fmt == "parquet":
         return ray.data.read_parquet(d["path"])
     if fmt in ("jsonl", "json"):
@@ -258,8 +303,14 @@ class Runner:
 
         rr = cfg.get("rerank")
         if rr:
+            from .. import registry
+
             t0 = time.time()
-            if rr.get("name", "mock") == "mock":
+            custom = registry.resolve("rerank", rr.get("name", "mock"))
+            if custom is not None:
+                cls, ckw = custom, {"store_path": str(store_dir),
+                                    **rr.get("extra_args", {})}
+            elif rr.get("name", "mock") == "mock":
                 cls, ckw = MockReranker, {"store_path": str(store_dir)}
             else:
                 cls = ShellReranker

@@ -99,17 +99,23 @@ class SegmentScorer:
         global_stats: dict[str, tuple[int, int]],
         k: int,
         prune: bool = False,
+        preloaded_rows: dict | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Return (ordinals, scores) of this segment's top-k."""
+        """Return (ordinals, scores) of this segment's top-k.
+        ``preloaded_rows`` (term -> term-table row) lets batch callers
+        read each segment's postings once for many queries."""
         present = [t for t in qterms if t in global_stats]
         if not present:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-        tbl = read_terms(self.index_dir, self.seg_id, terms=present)
-        if tbl.num_rows == 0:
+        if preloaded_rows is not None:
+            rows = [preloaded_rows[t] for t in present if t in preloaded_rows]
+        else:
+            tbl = read_terms(self.index_dir, self.seg_id, terms=present)
+            rows = tbl.to_pylist()
+        if not rows:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
         scores = np.zeros(self.ndocs, dtype=np.float64)
         matched = np.zeros(self.ndocs, dtype=bool)
-        rows = tbl.to_pylist()
         # rare (low-df) terms first: their postings are cheap and their
         # per-posting impact is highest, which tightens a future pruned
         # threshold quickly
@@ -280,14 +286,16 @@ class IndexSearcher:
             qterms[t] = qterms.get(t, 0) + 1
         return self.search_weighted(qterms, k)
 
-    def search_weighted(self, weights: dict[str, float], k: int = DEFAULT_K
-                        ) -> list[dict]:
+    def search_weighted(self, weights: dict[str, float], k: int = DEFAULT_K,
+                        gstats: dict | None = None) -> list[dict]:
         """Top-k for pre-processed weighted query terms (weight = query
         term frequency for plain queries, a float for RM3-expanded
-        queries)."""
+        queries). ``gstats`` lets batch callers prefetch the global
+        (df, cf) stats for many queries in one pushdown read."""
         if not weights:
             return []
-        gstats = lookup_global_stats(self.index_dir, list(weights))
+        if gstats is None:
+            gstats = lookup_global_stats(self.index_dir, list(weights))
         return self._merge_segments(
             lambda ss: ss.score(weights, self.scorer, gstats, k), k
         )
@@ -334,14 +342,85 @@ class IndexSearcher:
     def search_batch(self, queries: list[tuple[str, str]], k: int = DEFAULT_K,
                      already_processed: bool = False) -> pa.Table:
         """Score a list of (query_id, query_text); returns a flat Arrow
-        table (query_id, doc_id, rank, score)."""
-        out_qid, out_doc, out_rank, out_score = [], [], [], []
+        table (query_id, doc_id, rank, score). Global term stats for
+        the whole batch are prefetched in ONE pushdown read."""
+        processed: list[tuple[str, dict[str, int]]] = []
         for qid, text in queries:
-            for hit in self.search(text, k, already_processed=already_processed):
-                out_qid.append(qid)
-                out_doc.append(hit["doc_id"])
-                out_rank.append(hit["rank"])
-                out_score.append(hit["score"])
+            terms = (text.split() if already_processed
+                     else process_query(text, self.processor))
+            counts: dict[str, int] = {}
+            for t in terms:
+                counts[t] = counts.get(t, 0) + 1
+            processed.append((qid, counts))
+        all_terms = sorted({t for _, c in processed for t in c})
+        gstats = lookup_global_stats(self.index_dir, all_terms)
+        present = [t for t in all_terms if t in gstats]
+        segments = self.manifest["segments"]
+
+        # segments outer, queries inner: each segment's term table is
+        # read ONCE for the whole batch, and reads are threaded
+        # (parquet releases the GIL -> parallel IO across segments)
+        def _load(seg):
+            ss = self._segment(seg)
+            rows = {}
+            if present:
+                tbl = read_terms(self.index_dir, ss.seg_id, terms=present)
+                rows = {r["term"]: r for r in tbl.to_pylist()}
+            return ss, rows
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        if len(segments) > 1:
+            with ThreadPoolExecutor(min(8, len(segments))) as ex:
+                loaded = list(ex.map(_load, segments))
+        else:
+            loaded = [_load(s) for s in segments]
+
+        # per query: numpy candidate arrays (score, global ordinal,
+        # segment, local ordinal); doc ids resolved only for the final
+        # top-k, not for every per-segment candidate
+        nq = len(processed)
+        cand_scores: list[list] = [[] for _ in range(nq)]
+        cand_gords: list[list] = [[] for _ in range(nq)]
+        cand_segs: list[list] = [[] for _ in range(nq)]
+        cand_lords: list[list] = [[] for _ in range(nq)]
+        for si, (seg, (ss, rows)) in enumerate(zip(segments, loaded)):
+            base = seg["base"]
+            for qi, (qid, counts) in enumerate(processed):
+                if not counts:
+                    continue
+                ords, scores = ss.score(counts, self.scorer, gstats, k,
+                                        preloaded_rows=rows)
+                if ords.size == 0:
+                    continue
+                cand_scores[qi].append(scores)
+                cand_gords[qi].append(ords + base)
+                cand_segs[qi].append(np.full(ords.size, si, dtype=np.int32))
+                cand_lords[qi].append(ords)
+
+        out_qid, out_doc, out_rank, out_score = [], [], [], []
+        for qi, (qid, _counts) in enumerate(processed):
+            if not cand_scores[qi]:
+                continue
+            scores = np.concatenate(cand_scores[qi])
+            gords = np.concatenate(cand_gords[qi])
+            segs_arr = np.concatenate(cand_segs[qi])
+            lords = np.concatenate(cand_lords[qi])
+            # full lexsort (not argpartition): the (score desc, ordinal
+            # asc) tie-break must hold exactly at the k boundary
+            order = np.lexsort((gords, -scores))[:k]
+            scores, gords = scores[order], gords[order]
+            segs_arr, lords = segs_arr[order], lords[order]
+            # resolve doc ids segment by segment for the winners only
+            doc_ids = np.empty(scores.size, dtype=object)
+            for si in np.unique(segs_arr):
+                mask = segs_arr == si
+                ids = loaded[int(si)][0].doc_ids_for(lords[mask])
+                doc_ids[mask] = ids
+            out_qid.extend([qid] * scores.size)
+            out_doc.extend(doc_ids.tolist())
+            out_rank.extend(range(scores.size))
+            out_score.extend(scores.tolist())
         return pa.table(
             {
                 "query_id": pa.array(out_qid, pa.string()),

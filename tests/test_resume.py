@@ -20,7 +20,7 @@ from patapsco_ray.text import TextConfig
 @pytest.fixture(scope="module")
 def corpus(ray_session, tmp_path_factory):
     d = tmp_path_factory.mktemp("resume_corpus")
-    return generate_webpages(d, 2000, num_files=2)
+    return generate_webpages(d, 2000, num_files=8)
 
 
 def _build(corpus, idx):
