@@ -28,11 +28,14 @@ import numpy as np
 BLOCK_SIZE = 128
 
 
-def varint_encode(values: np.ndarray) -> np.ndarray:
-    """Encode a uint64 array as a concatenated LEB128 byte stream."""
+def varint_encode(values: np.ndarray, return_lengths: bool = False):
+    """Encode a uint64 array as a concatenated LEB128 byte stream.
+    ``return_lengths=True`` additionally returns the per-value byte
+    counts (needed to slice a bulk-encoded stream)."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return np.empty(0, dtype=np.uint8)
+        empty = np.empty(0, dtype=np.uint8)
+        return (empty, np.empty(0, dtype=np.int64)) if return_lengths else empty
     # number of 7-bit groups per value (1..10)
     nb = np.ones(v.shape, dtype=np.int64)
     threshold = np.uint64(1 << 7)
@@ -49,6 +52,8 @@ def varint_encode(values: np.ndarray) -> np.ndarray:
         chunk = (v[mask] >> np.uint64(7 * g)) & np.uint64(0x7F)
         cont = (nb[mask] > g + 1).astype(np.uint8) << 7
         out[starts[mask] + g] = chunk.astype(np.uint8) | cont
+    if return_lengths:
+        return out, nb
     return out
 
 
@@ -146,3 +151,83 @@ def decode_postings(
     if not ords_out:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
     return np.concatenate(ords_out), np.concatenate(tfs_out)
+
+
+def encode_postings_bulk(
+    ords_cat: np.ndarray,
+    tfs_cat: np.ndarray,
+    norms_cat: np.ndarray,
+    term_offsets: np.ndarray,
+) -> dict:
+    """Encode EVERY term's postings of a segment in one vectorized
+    pass (byte-identical to per-term ``encode_postings``).
+
+    Per-term numpy calls cost more than the work itself at web-corpus
+    term counts (measured: ~70% of segment-build time); here the delta
+    coding, varint encoding and per-block metadata are each computed
+    once over the concatenated arrays, then sliced per term.
+
+    Args:
+        ords_cat: all terms' sorted ordinals, concatenated in term order
+        tfs_cat / norms_cat: parallel tf and norm-byte arrays
+        term_offsets: int64 array (T+1); term t owns
+            ``[term_offsets[t], term_offsets[t+1])``
+
+    Returns dict with concatenated per-term columns: data (bytes of the
+    whole stream), term_byte_offsets (T+1 into data), and flat
+    per-block arrays + blocks_per_term for building Arrow list columns.
+    """
+    n = int(ords_cat.size)
+    counts = np.diff(term_offsets)
+    nb_per_term = (counts + BLOCK_SIZE - 1) // BLOCK_SIZE
+    total_blocks = int(nb_per_term.sum())
+    block_term = np.repeat(np.arange(len(counts)), nb_per_term)
+    first_block_of_term = np.cumsum(nb_per_term) - nb_per_term
+    within = np.arange(total_blocks) - first_block_of_term[block_term]
+    block_start = term_offsets[block_term] + within * BLOCK_SIZE
+    block_end = np.minimum(block_start + BLOCK_SIZE,
+                           term_offsets[block_term + 1])
+    block_counts = (block_end - block_start).astype(np.int64)
+
+    # delta-gap coding: every block's first value is the absolute
+    # ordinal (blocks decode independently); blocks tile the arrays
+    deltas = ords_cat.astype(np.int64).copy()
+    deltas[1:] -= ords_cat[:-1]
+    deltas[block_start] = ords_cat[block_start]
+
+    # interleave [deltas | tfs] per block into one value stream:
+    # block i occupies stream[2*s_i : 2*e_i]
+    s_of_p = np.repeat(block_start, block_counts)
+    e_of_p = np.repeat(block_end, block_counts)
+    p = np.arange(n)
+    stream = np.empty(2 * n, dtype=np.uint64)
+    stream[p + s_of_p] = deltas.astype(np.uint64)
+    stream[p + e_of_p] = tfs_cat.astype(np.uint64)
+
+    data, nb = varint_encode(stream, return_lengths=True)
+    byte_pos = np.zeros(2 * n + 1, dtype=np.int64)
+    np.cumsum(nb, out=byte_pos[1:])
+
+    block_byte_start = byte_pos[2 * block_start]
+    term_first_block_byte = block_byte_start[first_block_of_term]
+    term_byte_offsets = np.empty(len(counts) + 1, dtype=np.int64)
+    term_byte_offsets[:-1] = term_first_block_byte
+    term_byte_offsets[-1] = byte_pos[-1]
+    block_offsets_rel = block_byte_start - term_first_block_byte[block_term]
+
+    block_last = ords_cat[block_end - 1].astype(np.int64)
+    block_max_tf = np.maximum.reduceat(
+        tfs_cat, block_start) if n else np.empty(0, dtype=tfs_cat.dtype)
+    block_min_norm = np.minimum.reduceat(
+        norms_cat, block_start) if n else np.empty(0, dtype=np.uint8)
+
+    return {
+        "data": data.tobytes(),
+        "term_byte_offsets": term_byte_offsets,
+        "blocks_per_term": nb_per_term.astype(np.int64),
+        "block_offsets": block_offsets_rel.astype(np.int32),
+        "block_counts": block_counts.astype(np.int32),
+        "block_last": block_last,
+        "block_max_tf": block_max_tf.astype(np.int32),
+        "block_min_norm": block_min_norm.astype(np.int32),
+    }

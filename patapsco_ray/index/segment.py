@@ -133,41 +133,60 @@ def read_manifest(index_dir) -> dict:
 
 def build_terms_table(postings_by_term: dict, norms: np.ndarray) -> tuple[pa.Table, int]:
     """Encode an in-memory {term: ([ordinals], [tfs])} map into the
-    term-sorted Arrow table; returns (table, total_postings)."""
-    from .codec import encode_postings
+    term-sorted Arrow table; returns (table, total_postings).
+
+    Encoding runs as ONE vectorized pass over the concatenated posting
+    arrays (codec.encode_postings_bulk) — per-term encode calls were
+    ~70% of segment-build wall time — and the Arrow binary/list
+    columns are assembled zero-copy from the flat outputs + offsets.
+    """
+    from .codec import encode_postings_bulk
 
     terms_sorted = sorted(postings_by_term)
-    rows = {name: [] for name in (
-        "term", "df", "cf", "postings", "block_offsets", "block_counts",
-        "block_last", "block_max_tf", "block_min_norm")}
-    npostings = 0
-    for term in terms_sorted:
-        ords, tfs = postings_by_term[term]
-        ords = np.asarray(ords, dtype=np.int64)
-        tfs = np.asarray(tfs, dtype=np.int64)
-        enc = encode_postings(ords, tfs, norms[ords])
-        rows["term"].append(term)
-        rows["df"].append(len(ords))
-        rows["cf"].append(int(tfs.sum()))
-        rows["postings"].append(enc["postings"])
-        rows["block_offsets"].append(enc["block_offsets"])
-        rows["block_counts"].append(enc["block_counts"])
-        rows["block_last"].append(enc["block_last"])
-        rows["block_max_tf"].append(enc["block_max_tf"])
-        rows["block_min_norm"].append(enc["block_min_norm"])
-        npostings += len(ords)
+    T = len(terms_sorted)
+    if T == 0:
+        return TERMS_SCHEMA.empty_table(), 0
+    counts = np.fromiter(
+        (len(postings_by_term[t][0]) for t in terms_sorted),
+        dtype=np.int64, count=T)
+    term_offsets = np.zeros(T + 1, dtype=np.int64)
+    np.cumsum(counts, out=term_offsets[1:])
+    n = int(term_offsets[-1])
+    ords_cat = np.empty(n, dtype=np.int64)
+    tfs_cat = np.empty(n, dtype=np.int64)
+    for t, start in zip(terms_sorted, term_offsets[:-1]):
+        ords, tfs = postings_by_term[t]
+        ords_cat[start:start + len(ords)] = ords
+        tfs_cat[start:start + len(tfs)] = tfs
+    norms_cat = norms[ords_cat] if norms.size else np.zeros(n, dtype=np.uint8)
+
+    enc = encode_postings_bulk(ords_cat, tfs_cat, norms_cat, term_offsets)
+
+    postings_col = pa.Array.from_buffers(
+        pa.large_binary(), T,
+        [None, pa.py_buffer(enc["term_byte_offsets"].tobytes()),
+         pa.py_buffer(enc["data"])],
+    )
+    list_offsets = np.zeros(T + 1, dtype=np.int32)
+    list_offsets[1:] = np.cumsum(enc["blocks_per_term"]).astype(np.int32)
+    loff = pa.array(list_offsets, pa.int32())
+
+    def list_col(flat, typ):
+        return pa.ListArray.from_arrays(loff, pa.array(flat, typ))
+
+    cf = np.add.reduceat(tfs_cat, term_offsets[:-1]) if n else counts
     table = pa.table(
         {
-            "term": pa.array(rows["term"], pa.string()),
-            "df": pa.array(rows["df"], pa.int64()),
-            "cf": pa.array(rows["cf"], pa.int64()),
-            "postings": pa.array(rows["postings"], pa.large_binary()),
-            "block_offsets": pa.array(rows["block_offsets"], pa.list_(pa.int32())),
-            "block_counts": pa.array(rows["block_counts"], pa.list_(pa.int32())),
-            "block_last": pa.array(rows["block_last"], pa.list_(pa.int64())),
-            "block_max_tf": pa.array(rows["block_max_tf"], pa.list_(pa.int32())),
-            "block_min_norm": pa.array(rows["block_min_norm"], pa.list_(pa.int32())),
+            "term": pa.array(terms_sorted, pa.string()),
+            "df": pa.array(counts, pa.int64()),
+            "cf": pa.array(cf.astype(np.int64), pa.int64()),
+            "postings": postings_col,
+            "block_offsets": list_col(enc["block_offsets"], pa.int32()),
+            "block_counts": list_col(enc["block_counts"], pa.int32()),
+            "block_last": list_col(enc["block_last"], pa.int64()),
+            "block_max_tf": list_col(enc["block_max_tf"], pa.int32()),
+            "block_min_norm": list_col(enc["block_min_norm"], pa.int32()),
         },
         schema=TERMS_SCHEMA,
     )
-    return table, npostings
+    return table, n

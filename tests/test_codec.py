@@ -69,3 +69,48 @@ def test_encode_lengths_vectorized_matches_scalar():
     enc = encode_lengths(lens)
     for length, b in zip(lens, enc):
         assert b == int_to_byte4(int(length))
+
+
+def test_bulk_encoder_matches_per_term():
+    """encode_postings_bulk must be byte-identical to per-term
+    encode_postings (same blobs, offsets, block metadata)."""
+    import numpy as np
+
+    from patapsco_ray.index.codec import (
+        decode_postings,
+        encode_postings,
+        encode_postings_bulk,
+    )
+
+    rng = np.random.default_rng(7)
+    for _ in range(10):
+        T = int(rng.integers(1, 30))
+        offs = [0]
+        ords_all, tfs_all, norms_all, per_term = [], [], [], []
+        for _t in range(T):
+            df = int(rng.integers(1, 400))
+            o = np.sort(rng.choice(5000, size=df, replace=False)).astype(np.int64)
+            tf = rng.integers(1, 50, size=df).astype(np.int64)
+            nb = rng.integers(0, 256, size=df).astype(np.uint8)
+            per_term.append(encode_postings(o, tf, nb))
+            ords_all.append(o)
+            tfs_all.append(tf)
+            norms_all.append(nb)
+            offs.append(offs[-1] + df)
+        enc = encode_postings_bulk(
+            np.concatenate(ords_all), np.concatenate(tfs_all),
+            np.concatenate(norms_all), np.array(offs, dtype=np.int64))
+        tbo = enc["term_byte_offsets"]
+        bo = 0
+        for t in range(T):
+            blob = enc["data"][tbo[t]:tbo[t + 1]]
+            assert blob == per_term[t]["postings"]
+            nb_t = enc["blocks_per_term"][t]
+            sl = slice(bo, bo + nb_t)
+            for key in ("block_offsets", "block_counts", "block_last",
+                        "block_max_tf", "block_min_norm"):
+                assert list(enc[key][sl]) == per_term[t][key], key
+            o2, t2 = decode_postings(blob, list(enc["block_offsets"][sl]),
+                                     list(enc["block_counts"][sl]))
+            assert (o2 == ords_all[t]).all() and (t2 == tfs_all[t]).all()
+            bo += nb_t
