@@ -120,6 +120,8 @@ def run_sf_ops(sf_dir: str) -> dict:
         "exact_duplicates",
         "minhash_lsh_pairs",
         "cosine_topk",
+        "window_agg",
+        "sessionize",
     ]
     out = {}
     for name in picks:

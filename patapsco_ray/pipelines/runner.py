@@ -264,6 +264,17 @@ class Runner:
             queries = list(zip(qt.column("query_id").to_pylist(),
                                qt.column("query").to_pylist()))
 
+        # queries artifact (reference QueryWriter, topics.py:275-309)
+        pa_queries = pa.table({
+            "query_id": pa.array([q for q, _ in queries], pa.string()),
+            "query": pa.array([t for _, t in queries], pa.string()),
+        })
+        qdir = self.run_path / "queries"
+        qdir.mkdir(exist_ok=True)
+        import pyarrow.parquet as _pq
+
+        _pq.write_table(pa_queries, qdir / "queries.parquet")
+
         ret = cfg.get("retrieve", {})
         k = ret.get("number", 1000)
         searcher = IndexSearcher(

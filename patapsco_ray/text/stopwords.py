@@ -20,7 +20,9 @@ def load_stopwords(source: str, lang: str) -> frozenset[str]:
     (reference text.py:396-399)."""
     path = _RESOURCES / source / f"{lang}.txt"
     with open(path, encoding="utf8") as fp:
-        return frozenset(w.strip() for w in fp if w and w[0] != "#")
+        return frozenset(
+            w.strip() for w in fp if w.strip() and w[0] != "#"
+        )
 
 
 class StopWordsRemover:
