@@ -1,0 +1,222 @@
+"""Segment compaction — physical merge of many small segments.
+
+The reference's parallel reduce merges part indexes with Lucene's
+``IndexWriter.addIndexes`` (/root/reference/patapsco/index.py:93-103).
+Here the analogue: group consecutive segments (preserving global
+ordinal order) and rewrite each group as one segment. Build-optimal
+segment sizes (small, for scheduling balance) and query-optimal sizes
+(large, to amortize per-segment fixed costs) differ by ~100x; a
+compaction pass after the build converts one into the other.
+
+Runs as a Dataset pipeline over merge groups (actor pool): each task
+streams its input segments' term tables in term-sorted order (k-way
+heap merge), rebases segment-local ordinals by the doc offsets, and
+re-encodes with the bulk codec. Doc tables concatenate unchanged.
+Global ordinal order — and therefore every ranking and tie-break — is
+preserved exactly; tests assert rank/score identity pre/post.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import pathlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from .codec import decode_postings
+from .segment import (
+    DOCS_SCHEMA,
+    TERMS_SCHEMA,
+    read_manifest,
+    seg_dir,
+    write_manifest,
+)
+
+
+def _merge_group(index_dir: str, out_dir: str, group: list[dict],
+                 new_seg_id: str) -> dict:
+    """Merge one group of consecutive segments into one output segment."""
+    from .segment import build_terms_table
+
+    index_dir = pathlib.Path(index_dir)
+    out = pathlib.Path(out_dir)
+    # doc tables concatenate in segment order; ordinal base per input
+    doc_tables = []
+    bases = []
+    base = 0
+    for seg in group:
+        t = pq.read_table(seg_dir(index_dir, seg["seg_id"]) / "docs.parquet")
+        doc_tables.append(t)
+        bases.append(base)
+        base += t.num_rows
+    docs_table = pa.concat_tables(doc_tables).combine_chunks()
+    norms = docs_table.column("norm").to_numpy().astype(np.uint8)
+
+    # k-way merge of term-sorted tables, rebasing ordinals
+    readers = []
+    for gi, seg in enumerate(group):
+        t = pq.read_table(seg_dir(index_dir, seg["seg_id"]) / "terms.parquet")
+        readers.append((t, bases[gi]))
+    heap = []
+    for ri, (t, _b) in enumerate(readers):
+        if t.num_rows:
+            heap.append((t.column("term")[0].as_py(), ri, 0))
+    heapq.heapify(heap)
+
+    postings_by_term: dict[str, tuple[list, list]] = {}
+    while heap:
+        term, ri, row = heapq.heappop(heap)
+        t, b = readers[ri]
+        ords, tfs = decode_postings(
+            t.column("postings")[row].as_py(),
+            t.column("block_offsets")[row].as_py(),
+            t.column("block_counts")[row].as_py(),
+        )
+        slot = postings_by_term.setdefault(term, ([], []))
+        slot[0].append(ords + b)
+        slot[1].append(tfs)
+        if row + 1 < t.num_rows:
+            heapq.heappush(heap, (t.column("term")[row + 1].as_py(),
+                                  ri, row + 1))
+    # inputs are consecutive ordinal ranges pushed in segment order, so
+    # concatenation is already ordinal-sorted
+    merged = {
+        term: (np.concatenate(o_list), np.concatenate(t_list))
+        for term, (o_list, t_list) in postings_by_term.items()
+    }
+    terms_table, npostings = build_terms_table(merged, norms)
+
+    d = out / f"seg={new_seg_id}"
+    tmp = d.with_name(d.name + ".tmp")
+    if tmp.exists():
+        for p in tmp.iterdir():
+            p.unlink()
+        tmp.rmdir()
+    tmp.mkdir(parents=True)
+    pq.write_table(terms_table.cast(TERMS_SCHEMA), tmp / "terms.parquet",
+                   row_group_size=4096)
+    pq.write_table(docs_table.cast(DOCS_SCHEMA), tmp / "docs.parquet",
+                   row_group_size=1 << 20)
+    dl = docs_table.column("dl").to_numpy()
+    meta = {
+        "seg_id": new_seg_id,
+        "input_files": [s["seg_id"] for s in group],  # lineage: merged segs
+        "row_groups": [],
+        "input_rows": docs_table.num_rows,
+        "ndocs": docs_table.num_rows,
+        "rejected": 0,
+        "total_tf": int(dl.sum()),
+        "nterms": terms_table.num_rows,
+        "npostings": npostings,
+        "status": "complete",
+        "compacted_from": [s["seg_id"] for s in group],
+    }
+    (tmp / "meta.json").write_text(json.dumps(meta, indent=1))
+    if d.exists():
+        for p in d.iterdir():
+            p.unlink()
+        d.rmdir()
+    tmp.rename(d)
+    return meta
+
+
+class _Compactor:
+    def __init__(self, index_dir: str, out_dir: str):
+        self.index_dir = index_dir
+        self.out_dir = out_dir
+
+    def __call__(self, batch) -> pa.Table:
+        if isinstance(batch, pa.Table):
+            batch = batch.to_pydict()
+        rows = []
+        for i in range(len(batch["new_seg_id"])):
+            group = json.loads(batch["group_json"][i])
+            meta = _merge_group(self.index_dir, self.out_dir, group,
+                                str(batch["new_seg_id"][i]))
+            rows.append(meta)
+        return pa.table({
+            "seg_id": pa.array([m["seg_id"] for m in rows], pa.string()),
+            "ndocs": pa.array([m["ndocs"] for m in rows], pa.int64()),
+            "total_tf": pa.array([m["total_tf"] for m in rows], pa.int64()),
+            "nterms": pa.array([m["nterms"] for m in rows], pa.int64()),
+            "npostings": pa.array([m["npostings"] for m in rows], pa.int64()),
+        })
+
+
+def compact_index(
+    index_dir: str | pathlib.Path,
+    out_dir: str | pathlib.Path,
+    *,
+    target_docs_per_segment: int = 1_000_000,
+    concurrency: int | None = None,
+) -> dict:
+    """Compact an index into fewer, larger segments (new directory).
+
+    Groups CONSECUTIVE segments (global ordinal order preserved — the
+    docid-ascending tie-break survives) until each group reaches the
+    target doc count, then merges groups in parallel.
+    """
+    index_dir = pathlib.Path(index_dir)
+    out_dir = pathlib.Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    manifest = read_manifest(index_dir)
+    groups: list[list[dict]] = []
+    cur: list[dict] = []
+    cur_docs = 0
+    for seg in manifest["segments"]:
+        cur.append(seg)
+        cur_docs += seg["ndocs"]
+        if cur_docs >= target_docs_per_segment:
+            groups.append(cur)
+            cur, cur_docs = [], 0
+    if cur:
+        groups.append(cur)
+
+    if concurrency is None:
+        avail = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = max(1, min(len(groups), avail))
+    items = [
+        {"new_seg_id": f"{gi:06d}", "group_json": json.dumps(g)}
+        for gi, g in enumerate(groups)
+    ]
+    stats = ray.data.from_items(items).map_batches(
+        _Compactor,
+        fn_constructor_kwargs={"index_dir": str(index_dir),
+                               "out_dir": str(out_dir)},
+        batch_size=1,
+        concurrency=concurrency,
+        num_cpus=1,
+        batch_format="pyarrow",
+    ).take_all()
+
+    new_manifest = dict(manifest)
+    new_manifest["segments"] = sorted(
+        (
+            {"seg_id": r["seg_id"], "ndocs": int(r["ndocs"]),
+             "total_tf": int(r["total_tf"]), "nterms": int(r["nterms"]),
+             "npostings": int(r["npostings"]), "rejected": 0}
+            for r in stats
+        ),
+        key=lambda s: s["seg_id"],
+    )
+    base = 0
+    for s in new_manifest["segments"]:
+        s["base"] = base
+        base += s["ndocs"]
+    new_manifest["compacted_from"] = str(index_dir)
+
+    # global term stats are unchanged by compaction; copy the shards
+    src_gt = index_dir / "global_terms"
+    dst_gt = out_dir / "global_terms"
+    if src_gt.exists():
+        dst_gt.mkdir(exist_ok=True)
+        for f in src_gt.glob("*.parquet"):
+            (dst_gt / f.name).write_bytes(f.read_bytes())
+    write_manifest(out_dir, new_manifest)
+    return new_manifest
