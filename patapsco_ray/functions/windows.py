@@ -105,26 +105,57 @@ def sessionize(
     unit = {"m": 60, "h": 3600, "d": 86400}[gap[-1]]
     gap_us = int(gap[:-1]) * unit * 1_000_000
 
-    def per_key(grp: pa.Table) -> pa.Table:
-        ts = np.sort(pc.cast(grp.column(ts_column), pa.int64()).to_numpy())
-        new_session = np.empty(len(ts), dtype=bool)
-        new_session[0] = True
-        new_session[1:] = np.diff(ts) > gap_us
-        sid = np.cumsum(new_session) - 1
+    # shuffle key is hash(user) % P, NOT the user itself: each Ray
+    # group call then handles a whole partition of users with one
+    # vectorized scan instead of one Python call per user (the
+    # per-key map_groups pattern collapses at web-scale key counts)
+    num_parts = max(int(ray.cluster_resources().get("CPU", 4)) * 2, 8)
+
+    def add_part(tbl: pa.Table) -> pa.Table:
+        keys = pc.cast(tbl.column(key_column), pa.string()).combine_chunks()
+        from .hashing import hash_strings
+
+        part = (hash_strings(keys) % np.uint64(num_parts)).astype(np.int64)
+        return tbl.append_column("part", pa.array(part))
+
+    def per_part(grp: pa.Table) -> pa.Table:
+        grp = grp.combine_chunks()
+        order = pa.compute.sort_indices(
+            grp.select([key_column, ts_column]),
+            sort_keys=[(key_column, "ascending"), (ts_column, "ascending")],
+        )
+        grp = grp.take(order)
+        ts = pc.cast(grp.column(ts_column), pa.int64()).to_numpy()
+        keys = grp.column(key_column).to_numpy(zero_copy_only=False)
+        n = len(ts)
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = keys[1:] != keys[:-1]
+        new_session = new_key.copy()
+        new_session[1:] |= np.diff(ts) > gap_us
+        snum = np.cumsum(new_session) - 1           # global session number
         starts = np.flatnonzero(new_session)
-        ends = np.append(starts[1:], len(ts)) - 1
-        n = len(starts)
-        key_val = grp.column(key_column).slice(0, 1)
+        ends = np.append(starts[1:], n) - 1
+        # 0-based session id per key: subtract each key's first session
+        key_first_snum = snum[np.flatnonzero(new_key)]
+        key_index = np.cumsum(new_key) - 1
+        sid = snum - key_first_snum[key_index]
         return pa.table({
-            key_column: key_val.take(pa.array(np.zeros(n, dtype=np.int64))),
-            "session_id": pa.array(np.arange(n, dtype=np.int64)),
+            key_column: grp.column(key_column).take(pa.array(starts)),
+            "session_id": pa.array(sid[starts].astype(np.int64)),
             "n_events": pa.array((ends - starts + 1).astype(np.int64)),
             "session_start": pc.cast(pa.array(ts[starts]),
                                      pa.timestamp("us")),
             "session_end": pc.cast(pa.array(ts[ends]), pa.timestamp("us")),
         })
 
-    return ds.groupby(key_column).map_groups(per_key, batch_format="pyarrow")
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(lambda g: per_part(g.drop_columns(["part"])),
+                    batch_format="pyarrow")
+    )
 
 
 def topk_by_key(

@@ -283,7 +283,16 @@ class Runner:
             k1=ret.get("k1", 0.9), b=ret.get("b", 0.4),
             mu=ret.get("mu", 1000.0),
         )
-        if ret.get("psq"):
+        if ret.get("parse"):  # Lucene-syntax queries (schema.py:124)
+            from ..search.luceneq import search_lucene
+
+            rows = []
+            for qid, text in queries:
+                for hit in search_lucene(searcher, text, k):
+                    rows.append((qid, hit["doc_id"], hit["rank"],
+                                 hit["score"]))
+            results = _rows_table(rows)
+        elif ret.get("psq"):
             gen = PSQGenerator(searcher.processor, ret["psq"]["path"],
                                ret["psq"].get("threshold", 0.97))
             rows = []

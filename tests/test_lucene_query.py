@@ -1,0 +1,80 @@
+"""Boolean/boost query subset (LuceneQueryGenerator parity surface)."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from patapsco_ray.index import build_index
+from patapsco_ray.search import IndexSearcher, parse_lucene_query, search_lucene
+from patapsco_ray.text import TextConfig, TextProcessor
+
+DOCS = [
+    ("1", "apple banana cherry"),
+    ("2", "apple banana"),
+    ("3", "banana cherry"),
+    ("4", "apple apple apple"),
+    ("5", "durian"),
+]
+
+
+@pytest.fixture(scope="module")
+def idx(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("lq")
+    pq.write_table(pa.table({"doc_id": [i for i, _ in DOCS],
+                             "text": [t for _, t in DOCS]}),
+                   d / "docs.parquet")
+    build_index(str(d / "docs.parquet"), d / "idx",
+                text_config=TextConfig(stopwords=False, stem=False),
+                id_column="doc_id", html_column=None)
+    return str(d / "idx")
+
+
+def test_parse_terms():
+    proc = TextProcessor(TextConfig(stopwords=False, stem=False))
+    qts = parse_lucene_query("apple^2 +banana -cherry", proc)
+    assert [(q.term, q.boost, q.required, q.prohibited) for q in qts] == [
+        ("apple", 2.0, False, False),
+        ("banana", 1.0, True, False),
+        ("cherry", 1.0, False, True),
+    ]
+    assert parse_lucene_query('"a phrase"', proc) is None
+
+
+def test_or_default(idx):
+    s = IndexSearcher(idx)
+    hits = search_lucene(s, "apple cherry", k=10)
+    assert {h["doc_id"] for h in hits} == {"1", "2", "3", "4"}
+
+
+def test_and_required(idx):
+    s = IndexSearcher(idx)
+    hits = search_lucene(s, "apple AND cherry", k=10)
+    assert {h["doc_id"] for h in hits} == {"1"}
+    hits2 = search_lucene(s, "+apple +banana", k=10)
+    assert {h["doc_id"] for h in hits2} == {"1", "2"}
+
+
+def test_prohibited(idx):
+    s = IndexSearcher(idx)
+    hits = search_lucene(s, "apple -cherry", k=10)
+    assert {h["doc_id"] for h in hits} == {"2", "4"}
+
+
+def test_boost_changes_ranking(idx):
+    s = IndexSearcher(idx)
+    plain = search_lucene(s, "apple cherry", k=10)
+    boosted = search_lucene(s, "apple cherry^10", k=10)
+    # a huge cherry boost must rank a cherry-only doc above apple-rich 4
+    pos = {h["doc_id"]: h["rank"] for h in boosted}
+    assert pos["3"] < pos["4"]
+    # boosted scores = boost * plain per-term contribution (doc 3 has
+    # only cherry)
+    plain3 = next(h["score"] for h in plain if h["doc_id"] == "3")
+    boost3 = next(h["score"] for h in boosted if h["doc_id"] == "3")
+    assert boost3 == pytest.approx(10 * plain3)
+
+
+def test_phrase_and_missing_required_empty(idx):
+    s = IndexSearcher(idx)
+    assert search_lucene(s, '"apple banana"', k=10) == []
+    assert search_lucene(s, "+nonexistentterm apple", k=10) == []
