@@ -112,19 +112,41 @@ def _scaled(x) -> pa.Array:
     )
 
 
-def _search(sf_dir: str, scorer: str) -> pa.Table:
+def _rank_rounded(tbl: pa.Table, k: int) -> pa.Table:
+    """Re-rank by (rounded score desc, doc_id asc) and cut to k per
+    query. The engine ranks by exact float score (Lucene semantics);
+    the SQL oracle's floats can differ in the last ulp (different
+    summation order), which flips near-ties. Ranking BOTH sides on the
+    1e6-rounded score makes the comparison deterministic; extra rows
+    beyond k are fetched so rounded ties at the boundary resolve the
+    same way on both sides."""
+    import pandas as pd
+
+    df = pd.DataFrame({
+        "query_id": tbl.column("query_id").to_pylist(),
+        "doc_id": [int(d) for d in tbl.column("doc_id").to_pylist()],
+        "score_1e6": np.floor(
+            np.asarray(tbl.column("score").to_pylist()) * 1e6 + 0.5
+        ).astype(np.int64),
+    })
+    df = df.sort_values(["query_id", "score_1e6", "doc_id"],
+                        ascending=[True, False, True])
+    df["rank"] = df.groupby("query_id").cumcount()
+    df = df[df["rank"] < k]
+    return pa.table({
+        "query_id": pa.array(df["query_id"], pa.string()),
+        "doc_id": pa.array(df["doc_id"], pa.int64()),
+        "rank": pa.array(df["rank"], pa.int64()),
+        "score_1e6": pa.array(df["score_1e6"], pa.int64()),
+    })
+
+
+def _search(sf_dir: str, scorer: str, quantize: bool = False) -> pa.Table:
     searcher = IndexSearcher(
-        _index_for(sf_dir), scorer=scorer, quantize_norms=False
+        _index_for(sf_dir), scorer=scorer, quantize_norms=quantize
     )
-    tbl = searcher.search_batch(RETRIEVAL_QUERIES, k=TOP_K)
-    return pa.table(
-        {
-            "query_id": tbl.column("query_id"),
-            "doc_id": pa.compute.cast(tbl.column("doc_id"), pa.int64()),
-            "rank": pa.compute.cast(tbl.column("rank"), pa.int64()),
-            "score_1e6": _scaled(tbl.column("score").to_numpy()),
-        }
-    )
+    tbl = searcher.search_batch(RETRIEVAL_QUERIES, k=TOP_K + 16)
+    return _rank_rounded(tbl, TOP_K)
 
 
 def _docs(sf_dir: str) -> ray.data.Dataset:
@@ -163,16 +185,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def psq(sf: str):
         searcher = IndexSearcher(_index_for(sf), quantize_norms=False)
-        rows = []
-        for hit in searcher.search_psq(PSQ_CLAUSES, k=TOP_K):
-            rows.append((hit["doc_id"], hit["rank"], hit["score"]))
-        return pa.table({
-            "doc_id": pa.array([int(d) for d, _, _ in rows], pa.int64()),
-            "rank": pa.array([r for _, r, _ in rows], pa.int64()),
-            "score_1e6": _scaled([s for _, _, s in rows]),
+        hits = searcher.search_psq(PSQ_CLAUSES, k=TOP_K + 16)
+        tbl = pa.table({
+            "query_id": pa.array(["p"] * len(hits), pa.string()),
+            "doc_id": pa.array([h["doc_id"] for h in hits], pa.string()),
+            "score": pa.array([h["score"] for h in hits], pa.float64()),
         })
+        return _rank_rounded(tbl, TOP_K).drop_columns(["query_id"])
 
     q["psq_topk"] = psq
+
+    # the DEFAULT scoring path: byte4-quantized doc lengths (Lucene
+    # SmallFloat norms); oracle embeds the quantization table as VALUES
+    q["bm25_topk_quantized"] = lambda sf: _search(sf, "bm25", quantize=True)
 
     def rm3(sf: str):  # rows-only: feedback weights not SQL-friendly
         idx = _index_for(sf)
@@ -362,9 +387,12 @@ scored AS (
   GROUP BY q.query_id, tf.doc_id)
 SELECT query_id, doc_id,
   CAST(row_number() OVER (PARTITION BY query_id
-       ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank,
-  CAST(FLOOR(score * 1000000 + 0.5) AS BIGINT) AS score_1e6
-FROM scored QUALIFY rank < {TOP_K} ORDER BY query_id, rank
+       ORDER BY score_1e6 DESC, doc_id) - 1 AS BIGINT) AS rank,
+  score_1e6
+FROM (SELECT query_id, doc_id,
+        CAST(FLOOR(score * 1000000 + 0.5) AS BIGINT) AS score_1e6
+      FROM scored)
+QUALIFY rank < {TOP_K} ORDER BY query_id, rank
 """
 
 # Lucene>=8 BM25, exact doc lengths (engine mode quantize_norms=False):
@@ -416,10 +444,57 @@ scored AS (
        CROSS JOIN stats s
   GROUP BY p.doc_id)
 SELECT doc_id,
-  CAST(row_number() OVER (ORDER BY score DESC, doc_id) - 1 AS BIGINT)
+  CAST(row_number() OVER (ORDER BY score_1e6 DESC, doc_id) - 1 AS BIGINT)
     AS rank,
-  CAST(FLOOR(score * 1000000 + 0.5) AS BIGINT) AS score_1e6
-FROM scored QUALIFY rank < {TOP_K} ORDER BY rank
+  score_1e6
+FROM (SELECT doc_id, CAST(FLOOR(score * 1000000 + 0.5) AS BIGINT)
+        AS score_1e6 FROM scored)
+QUALIFY rank < {TOP_K} ORDER BY rank
+"""
+
+
+def _quantized_bm25_sql() -> str:
+    """BM25 over byte4-QUANTIZED doc lengths (the engine's default,
+    Lucene SmallFloat norm semantics): the dl -> quantized-dl mapping
+    is a fixed public table, embedded as VALUES."""
+    from patapsco_ray.index.norms import DECODE_TABLE, encode_lengths
+
+    dls = np.arange(4096, dtype=np.int64)
+    dlq = DECODE_TABLE[encode_lengths(dls)]
+    pairs = ", ".join(f"({int(d)}, {float(q)})" for d, q in zip(dls, dlq))
+    return f"""
+WITH q(query_id, term) AS (VALUES {_queries_values()}),
+toks AS ({_TOKS}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+       FROM toks GROUP BY doc_id, term),
+dl AS (SELECT d.doc_id, count(t.term) AS dl
+       FROM documents d LEFT JOIN toks t USING (doc_id)
+       GROUP BY d.doc_id),
+qmap(dl, dlq) AS (VALUES {pairs}),
+dlq AS (SELECT dl.doc_id, qmap.dlq FROM dl JOIN qmap USING (dl)),
+stats AS (SELECT count(*)::DOUBLE AS n,
+                 (SELECT sum(dl) FROM dl) / count(*)::DOUBLE AS avgdl
+          FROM documents),
+df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+       FROM toks GROUP BY term),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+    sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+        * tf.tf / (tf.tf + 0.9 * (1 - 0.4 + 0.4 * dlq.dlq / s.avgdl)))
+      AS score
+  FROM q JOIN tf ON tf.term = q.term
+         JOIN df ON df.term = q.term
+         JOIN dlq ON dlq.doc_id = tf.doc_id
+         CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id)
+SELECT query_id, doc_id,
+  CAST(row_number() OVER (PARTITION BY query_id
+       ORDER BY score_1e6 DESC, doc_id) - 1 AS BIGINT) AS rank,
+  score_1e6
+FROM (SELECT query_id, doc_id,
+        CAST(FLOOR(score * 1000000 + 0.5) AS BIGINT) AS score_1e6
+      FROM scored)
+QUALIFY rank < {TOP_K} ORDER BY query_id, rank
 """
 
 
@@ -435,6 +510,7 @@ def oracle_sql() -> dict[str, str]:
             values=_queries_values(), term_score=_QLD_TERM
         ),
         "psq_topk": _PSQ_SQL.format(values=_psq_values()),
+        "bm25_topk_quantized": _quantized_bm25_sql(),
         "processed_token_counts": f"""
             WITH toks AS ({_TOKS})
             SELECT d.doc_id,
