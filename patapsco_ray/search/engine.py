@@ -85,6 +85,36 @@ class SegmentScorer:
             else docs.column("dl").to_numpy().astype(np.float64)
         )
         self._doc_ids: pa.Table | None = None
+        self._pf: pq.ParquetFile | None = None
+        self._rg_ranges: list[tuple[str, str]] | None = None
+
+    def term_rows(self, terms: list[str]) -> dict[str, dict]:
+        """Read this segment's rows for a sorted term list, reusing a
+        cached ParquetFile handle (footer parsed once per segment, not
+        once per query batch) and pruning row groups by the term
+        column's min/max statistics."""
+        if self._pf is None:
+            self._pf = pq.ParquetFile(
+                seg_dir(self.index_dir, self.seg_id) / "terms.parquet")
+            md = self._pf.metadata
+            idx = self._pf.schema_arrow.names.index("term")
+            self._rg_ranges = [
+                (md.row_group(i).column(idx).statistics.min,
+                 md.row_group(i).column(idx).statistics.max)
+                for i in range(md.num_row_groups)
+            ]
+        wanted = sorted(terms)
+        rgs = [
+            i for i, (lo, hi) in enumerate(self._rg_ranges)
+            if any(lo <= t <= hi for t in wanted)
+        ]
+        if not rgs:
+            return {}
+        tbl = self._pf.read_row_groups(rgs)
+        mask = pa.compute.is_in(tbl.column("term"),
+                                value_set=pa.array(wanted, pa.string()))
+        tbl = tbl.filter(mask)
+        return {r["term"]: r for r in tbl.to_pylist()}
 
     def doc_ids_for(self, ordinals: np.ndarray) -> list[str]:
         if self._doc_ids is None:
@@ -362,10 +392,7 @@ class IndexSearcher:
         # (parquet releases the GIL -> parallel IO across segments)
         def _load(seg):
             ss = self._segment(seg)
-            rows = {}
-            if present:
-                tbl = read_terms(self.index_dir, ss.seg_id, terms=present)
-                rows = {r["term"]: r for r in tbl.to_pylist()}
+            rows = ss.term_rows(present) if present else {}
             return ss, rows
 
         from concurrent.futures import ThreadPoolExecutor
