@@ -245,6 +245,13 @@ def build_index(
     scheduling, retries and backpressure; each task writes its segment
     idempotently (tmp + rename), which makes the build resumable at
     segment granularity with recorded per-segment lineage.
+
+    Incremental append: re-running over a superset of input files
+    reuses every segment whose planned (file, row-group) lineage is
+    unchanged and builds only the new ones — provided the new files
+    sort AFTER the existing ones (the plan is a pure function of the
+    sorted listing; files inserted in the middle shift segment
+    boundaries and force a rebuild from that point).
     """
     if isinstance(paths, (str, pathlib.Path)):
         p = pathlib.Path(paths)

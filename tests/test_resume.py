@@ -91,3 +91,28 @@ def test_manifest_metrics(corpus, tmp_path):
         assert meta["nterms"] > 0 and meta["npostings"] > 0
     assert read_manifest(idx)["avgdl"] == pytest.approx(
         m["total_tf"] / m["ndocs"])
+
+
+def test_incremental_append(corpus, tmp_path, tmp_path_factory):
+    """New input files appended after a build: existing segments are
+    reused via lineage, only the new data is indexed."""
+    idx = tmp_path / "idx5"
+    m1 = _build(corpus, idx)
+    n_before = len(m1["segments"])
+    seg0 = sorted(p for p in idx.glob("seg=*") if p.is_dir())[0]
+    mtime = (seg0 / "terms.parquet").stat().st_mtime_ns
+
+    # append two more files that sort AFTER the existing ones
+    extra_dir = pathlib.Path(corpus[0]).parent
+    extra = generate_webpages(tmp_path / "extra", 500, num_files=2, seed=7)
+    all_paths = list(corpus) + [str(p) for p in extra]
+    m2 = build_index(all_paths, idx, text_config=TextConfig(stem="porter"),
+                     rows_per_segment=500)
+    assert m2["ndocs"] == m1["ndocs"] + 500
+    assert len(m2["segments"]) > n_before
+    # original segment untouched (resumed, not rebuilt)
+    assert (seg0 / "terms.parquet").stat().st_mtime_ns == mtime
+    # appended docs searchable
+    from patapsco_ray.search import IndexSearcher
+    hits = IndexSearcher(idx).search("world state", k=5)
+    assert hits
