@@ -316,6 +316,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["lsh_cosine_topk"] = lsh_topk  # rows-only (approximate)
 
+    def qfilter(sf: str):
+        from patapsco_ray.functions import quality_filter
+
+        return quality_filter(_docs(sf), min_tokens=20,
+                              max_stopword_ratio=0.5, min_unique_ratio=0.3)
+
+    q["quality_filter"] = qfilter
+
+    def url_dedup(sf: str):
+        from patapsco_ray.functions import url_duplicates
+
+        def add_url(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_pylist()
+            urls = [
+                f"https://Ex.org/p/{i % 50}/?utm_source=x&id={i % 7}"
+                for i in ids
+            ]
+            return pa.table({"url": pa.array(urls, pa.string()),
+                             "doc_id": t.column("doc_id")})
+
+        ds = _docs(sf).map_batches(add_url, batch_format="pyarrow")
+        return url_duplicates(ds)
+
+    q["url_duplicates"] = url_dedup
+
     # --- event-stream operators (windowed/sessionized aggregates) ---
     def _events(sf: str):
         return ray.data.read_parquet(f"{sf}/events.parquet")
@@ -545,6 +570,20 @@ def oracle_sql() -> dict[str, str]:
         "exact_duplicates": """
             SELECT min(doc_id) AS keep_id, count(*) AS n_copies
             FROM documents GROUP BY text""",
+        "quality_filter": f"""
+            WITH toks AS ({_TOKS}),
+            sig AS (
+              SELECT d.doc_id, count(t.term) AS n_tokens,
+                count(DISTINCT t.term) AS nu,
+                count(CASE WHEN t.term IN ({sw_list}) THEN 1 END) AS nsw
+              FROM documents d LEFT JOIN toks t USING (doc_id)
+              GROUP BY d.doc_id)
+            SELECT doc_id, n_tokens FROM sig
+            WHERE n_tokens >= 20 AND nsw*1.0/n_tokens <= 0.5
+              AND nu*1.0/n_tokens >= 0.3""",
+        "url_duplicates": """
+            SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+            FROM documents GROUP BY doc_id % 50, doc_id % 7""",
         "window_agg": """
             SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
               event_type, count(*) AS n_events,

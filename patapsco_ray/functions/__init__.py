@@ -15,7 +15,8 @@ Ray Data transform:
   binary columns (decode kernels stubbed; Ray plumbing real)
 """
 
-from .textstats import token_counts, quality_signals, language_id, fingerprints
+from .textstats import token_counts, quality_signals, quality_filter, language_id, fingerprints
+from .urls import canonicalize_url, canonicalize_urls, url_duplicates
 from .dedup import (
     exact_duplicates,
     ngram_jaccard_pairs,
@@ -28,6 +29,10 @@ from .windows import sessionize, topk_by_key, tumbling_window_agg
 __all__ = [
     "token_counts",
     "quality_signals",
+    "quality_filter",
+    "canonicalize_url",
+    "canonicalize_urls",
+    "url_duplicates",
     "language_id",
     "fingerprints",
     "exact_duplicates",

@@ -245,3 +245,40 @@ def fingerprints(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quality_filter(
+    ds: ray.data.Dataset,
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    max_stopword_ratio: float = 0.6,
+    min_unique_ratio: float = 0.1,
+    stopword_source: str = "lucene",
+    stopword_lang: str = "eng",
+) -> ray.data.Dataset:
+    """Training-data quality gate: keep documents whose signals fall
+    inside the configured bounds (the standard web-corpus filter shape:
+    length window, stopword-density cap, repetition floor). Returns the
+    kept rows' (id, n_tokens) so downstream stages can join or count.
+    """
+    signals = quality_signals(
+        ds, id_column=id_column, text_column=text_column,
+        stopword_source=stopword_source, stopword_lang=stopword_lang,
+    )
+
+    def keep(tbl: pa.Table) -> pa.Table:
+        n = tbl.column("n_tokens").to_numpy()
+        sw = tbl.column("stopword_ratio").to_numpy()
+        uq = tbl.column("unique_ratio").to_numpy()
+        mask = (
+            (n >= min_tokens) & (n <= max_tokens)
+            & (sw <= max_stopword_ratio) & (uq >= min_unique_ratio)
+        )
+        kept = tbl.filter(pa.array(mask))
+        return kept.select([id_column, "n_tokens"])
+
+    return signals.map_batches(keep, batch_format="pyarrow",
+                               zero_copy_batch=True)
