@@ -347,6 +347,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["window_agg"] = lambda sf: tumbling_window_agg(_events(sf),
                                                      window="1h")
+
+    def sliding(sf: str):
+        from patapsco_ray.functions import sliding_window_agg
+
+        return sliding_window_agg(_events(sf), window="1h", slide="30m")
+
+    q["sliding_window_agg"] = sliding
     q["sessionize"] = lambda sf: sessionize(_events(sf), gap="30m")
     q["topk_by_key"] = lambda sf: topk_by_key(_events(sf), k=3)
 
@@ -594,6 +601,17 @@ def oracle_sql() -> dict[str, str]:
               CAST(FLOOR(max(value)*1000000 + 0.5) AS BIGINT)
                 AS max_value_1e6
             FROM events GROUP BY 1, 2""",
+        "sliding_window_agg": """
+            WITH h AS (SELECT unnest(range(0, 2)) AS j),
+            w AS (SELECT e.event_type, e.value, e.ts,
+                   time_bucket(INTERVAL 30 MINUTE, e.ts)
+                     - to_minutes(30 * j::INT) AS window_start
+                  FROM events e CROSS JOIN h)
+            SELECT window_start, event_type, count(*) AS n_events,
+              CAST(FLOOR(sum(value)*1000000 + 0.5) AS BIGINT)
+                AS sum_value_1e6
+            FROM w WHERE window_start + INTERVAL 1 HOUR > ts
+            GROUP BY 1, 2""",
         "sessionize": """
             WITH o AS (
               SELECT user_id, ts,

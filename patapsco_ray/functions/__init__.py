@@ -24,7 +24,7 @@ from .dedup import (
     simhash_pairs,
 )
 from .similarity import cosine_topk, cosine_neardup_pairs, lsh_cosine_topk
-from .windows import sessionize, topk_by_key, tumbling_window_agg
+from .windows import sessionize, sliding_window_agg, topk_by_key, tumbling_window_agg
 
 __all__ = [
     "token_counts",
@@ -43,6 +43,7 @@ __all__ = [
     "cosine_neardup_pairs",
     "lsh_cosine_topk",
     "sessionize",
+    "sliding_window_agg",
     "topk_by_key",
     "tumbling_window_agg",
 ]

@@ -201,3 +201,71 @@ def topk_by_key(
 
     return partials.groupby(key_column).map_groups(
         final, batch_format="pyarrow")
+
+
+def sliding_window_agg(
+    ds: ray.data.Dataset,
+    *,
+    window: str = "1h",
+    slide: str = "30m",
+    ts_column: str = "ts",
+    key_column: str | None = "event_type",
+    value_column: str = "value",
+) -> ray.data.Dataset:
+    """Sliding (hopping) windows: each event contributes to
+    ``window/slide`` overlapping windows. Implemented as a vectorized
+    explode inside ``map_batches`` (np.repeat over the hop count) into
+    (window_start, key) partials, then the same small-key groupby as
+    the tumbling path — the shuffle still moves only partials.
+    """
+    unit = {"m": 60, "h": 3600, "d": 86400}
+    width_us = int(window[:-1]) * unit[window[-1]] * 1_000_000
+    slide_us = int(slide[:-1]) * unit[slide[-1]] * 1_000_000
+    if width_us % slide_us:
+        raise ValueError("window must be a multiple of slide")
+    hops = width_us // slide_us
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        ts = pc.cast(tbl.column(ts_column), pa.int64()).to_numpy()
+        vals = tbl.column(value_column).to_numpy().astype(np.float64)
+        n = len(ts)
+        # the windows containing t start at
+        # floor(t/slide)*slide - j*slide for j in 0..hops-1, clipped to
+        # starts where t < start + width
+        base = (ts // slide_us) * slide_us
+        rep_ts = np.repeat(base, hops) - np.tile(
+            np.arange(hops, dtype=np.int64) * slide_us, n)
+        rep_vals = np.repeat(vals, hops)
+        keep = rep_ts + width_us > np.repeat(ts, hops)
+        cols = {"w": rep_ts[keep], "v": rep_vals[keep]}
+        if key_column:
+            keys = tbl.column(key_column).to_pylist()
+            rep_keys = np.repeat(np.asarray(keys, dtype=object), hops)[keep]
+            cols["k"] = rep_keys.tolist()
+        t = pa.table({c: pa.array(v) for c, v in cols.items()})
+        group_cols = ["w"] + (["k"] if key_column else [])
+        return t.group_by(group_cols).aggregate(
+            [("v", "count"), ("v", "sum")])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    group_cols = ["w"] + (["k"] if key_column else [])
+    merged = partials.groupby(group_cols).aggregate(
+        ray.data.aggregate.Sum("v_count"),
+        ray.data.aggregate.Sum("v_sum"),
+    )
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        out = {
+            "window_start": pc.cast(
+                pc.cast(tbl.column("w"), pa.int64()), pa.timestamp("us")),
+        }
+        if key_column:
+            out[key_column] = tbl.column("k")
+        out["n_events"] = pc.cast(tbl.column("sum(v_count)"), pa.int64())
+        out["sum_value_1e6"] = pa.array(np.floor(
+            tbl.column("sum(v_sum)").to_numpy().astype(np.float64) * 1e6
+            + 0.5).astype(np.int64))
+        return pa.table(out)
+
+    return merged.map_batches(finish, batch_format="pyarrow")

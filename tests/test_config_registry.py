@@ -57,3 +57,14 @@ def test_registry_roundtrip():
         registry._REGISTRY["documents"].pop("myformat")
     with pytest.raises(ValueError):
         registry.register("bogus_kind", "x", custom_reader)
+
+
+def test_cli_override_parsing():
+    from patapsco_ray.__main__ import _apply_override
+
+    cfg = {"retrieve": {"k1": 0.9}}
+    _apply_override(cfg, "retrieve.k1=1.2")
+    _apply_override(cfg, "retrieve.name=qld")
+    _apply_override(cfg, "run.path=/tmp/x")
+    assert cfg["retrieve"] == {"k1": 1.2, "name": "qld"}
+    assert cfg["run"]["path"] == "/tmp/x"

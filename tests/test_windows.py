@@ -70,3 +70,31 @@ def test_topk_by_key_vs_sql(events_ds):
     assert len(got) == len(want) > 0
     assert (got["event_id"].values == want["event_id"].values).all()
     assert (got["value_1e6"].values == want["value_1e6"].values).all()
+
+
+def test_sliding_window_vs_sql(events_ds):
+    from patapsco_ray.functions import sliding_window_agg
+
+    got = sliding_window_agg(events_ds, window="1h", slide="30m").to_pandas()
+    got = got.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    want = duckdb.sql(f"""
+        WITH h AS (SELECT unnest(range(0, 2)) AS j),
+        w AS (SELECT e.event_type, e.value, e.ts,
+               time_bucket(INTERVAL 30 MINUTE, e.ts)
+                 - to_minutes(30 * j::INT) AS window_start
+              FROM '{EVENTS}' e CROSS JOIN h)
+        SELECT window_start, event_type, count(*) AS n_events,
+          CAST(FLOOR(sum(value)*1000000 + 0.5) AS BIGINT) AS sum_value_1e6
+        FROM w WHERE window_start + INTERVAL 1 HOUR > ts
+        GROUP BY 1, 2 ORDER BY 1, 2""").df()
+    assert len(got) == len(want) > 0
+    assert (got["n_events"].values == want["n_events"].values).all()
+    assert (got["sum_value_1e6"].values == want["sum_value_1e6"].values).all()
+    assert (got["window_start"].values == want["window_start"].values).all()
+
+
+def test_sliding_requires_multiple():
+    from patapsco_ray.functions import sliding_window_agg
+
+    with pytest.raises(ValueError):
+        sliding_window_agg(None, window="1h", slide="25m")
