@@ -35,7 +35,7 @@ import time
 
 REPO = pathlib.Path(__file__).resolve().parent
 CORPUS_DIR = "/tmp/patapsco_bench_corpus"
-CORPUS_ROWS = 1_500_000
+CORPUS_ROWS = 3_000_000
 CORPUS_FILES = 48
 ROWS_PER_SEGMENT = 12_500  # ~120 segments at 1.5M rows: many
 # scheduling waves per CPU level (load balance) while keeping

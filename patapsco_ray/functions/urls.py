@@ -9,9 +9,7 @@ shuffle moves only (canonical_url_hash, id).
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 import ray.data
 

@@ -29,7 +29,7 @@ from __future__ import annotations
 import math
 import pathlib
 
-import pyarrow as pa
+
 
 
 def _run_from_table(results: "pa.Table") -> dict[str, dict[str, float]]:

@@ -21,7 +21,6 @@ import pathlib
 
 import pyarrow as pa
 import pyarrow.compute as pc
-import pyarrow.parquet as pq
 
 import ray.data
 

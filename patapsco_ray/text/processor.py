@@ -19,7 +19,7 @@ job.py:952-962).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from .normalize import Normalizer
 from .stem import create_stemmer
