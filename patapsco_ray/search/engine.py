@@ -456,3 +456,64 @@ class IndexSearcher:
                 "score": pa.array(out_score, pa.float64()),
             }
         )
+
+
+def explain(searcher: "IndexSearcher", query_text: str, doc_id: str,
+            already_processed: bool = False) -> dict:
+    """Per-term score breakdown for one document — the reference's
+    ``log_explanations`` surface (retrieve.py:144,153-165 wraps
+    Lucene's explain).
+
+    Returns {doc_id, score, terms: [{term, qtf, df, cf, tf, dl_used,
+    idf_or_pw, weight, contribution}]}; the contributions sum to the
+    document's score under the searcher's scorer settings.
+    """
+    terms = (query_text.split() if already_processed
+             else process_query(query_text, searcher.processor))
+    counts: dict[str, int] = {}
+    for t in terms:
+        counts[t] = counts.get(t, 0) + 1
+    gstats = lookup_global_stats(searcher.index_dir, list(counts))
+    # locate the doc's segment + ordinal
+    target = None
+    for seg in searcher.manifest["segments"]:
+        ss = searcher._segment(seg)
+        docs = read_docs(searcher.index_dir, ss.seg_id, columns=["doc_id"])
+        col = docs.column("doc_id")
+        idx = pa.compute.index(col, pa.scalar(str(doc_id)))
+        if idx.as_py() >= 0:
+            target = (ss, int(idx.as_py()))
+            break
+    if target is None:
+        raise KeyError(f"doc_id {doc_id!r} not in index")
+    ss, ordinal = target
+    out_terms = []
+    total = 0.0
+    rows = ss.term_rows([t for t in counts if t in gstats])
+    for term, qtf in counts.items():
+        stat_pair = gstats.get(term)
+        row = rows.get(term)
+        entry = {"term": term, "qtf": qtf, "df": 0, "cf": 0, "tf": 0,
+                 "contribution": 0.0}
+        if stat_pair and row:
+            df, cf = stat_pair
+            ords, tfs = decode_postings(
+                row["postings"], row["block_offsets"], row["block_counts"])
+            pos = np.searchsorted(ords, ordinal)
+            tf = int(tfs[pos]) if pos < len(ords) and ords[pos] == ordinal \
+                else 0
+            entry.update(df=df, cf=cf, tf=tf)
+            if tf:
+                stat = df if hasattr(searcher.scorer, "idf") else cf
+                if ss.quantize_norms:
+                    contrib = searcher.scorer.score_postings(
+                        np.array([tf]), ss.norms[ordinal:ordinal + 1],
+                        stat, qtf)
+                else:
+                    contrib = searcher.scorer.score_postings_dl(
+                        np.array([tf]), ss.lens[ordinal:ordinal + 1],
+                        stat, qtf)
+                entry["contribution"] = float(contrib[0])
+                total += entry["contribution"]
+        out_terms.append(entry)
+    return {"doc_id": str(doc_id), "score": total, "terms": out_terms}

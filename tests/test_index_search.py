@@ -191,3 +191,22 @@ def test_prune_matches_exhaustive(ray_session, tmp_path):
     o2, sc2 = ss.score({"t0": 1}, s.scorer, g, k=10, prune=True)
     assert np.array_equal(o1, o2)
     assert np.allclose(sc1, sc2)
+
+
+def test_explain_sums_to_score(corpus_index):
+    """explain(): per-term contributions reproduce the search score
+    (reference log_explanations parity, retrieve.py:144,153-165)."""
+    from patapsco_ray.search.engine import explain
+
+    index_dir, _ = corpus_index
+    s = IndexSearcher(index_dir, text_config=CFG)
+    hits = s.search("gato felino extra", k=4)
+    assert hits
+    for h in hits:
+        ex = explain(s, "gato felino extra", h["doc_id"])
+        assert ex["score"] == pytest.approx(h["score"], rel=1e-12)
+        assert sum(t["contribution"] for t in ex["terms"]) == \
+            pytest.approx(h["score"], rel=1e-12)
+        assert any(t["tf"] > 0 for t in ex["terms"])
+    with pytest.raises(KeyError):
+        explain(s, "gato", "no-such-doc")
