@@ -122,3 +122,46 @@ def test_search_by_segment_matches_local(small_index):
         got = dist[dist["query_id"] == qid].sort_values("rank")
         assert [(d, round(s, 9)) for d, s in
                 zip(got["doc_id"], got["score"])] == want
+
+
+def test_runner_topics_to_scores_clir_loop(corpus_dir, tmp_path):
+    """Full reference-shaped run: JSONL topics -> field join -> retrieve
+    -> TREC run -> qrels scoring, all through the config surface."""
+    topics = tmp_path / "topics.jsonl"
+    topics.write_text(
+        '{"topic_id": "T1", "languages_with_qrels": ["eng"], "topics": '
+        '[{"lang": "eng", "source": "original", "topic_title": '
+        '"world state", "topic_description": "people and state"}]}\n'
+        '{"topic_id": "T2", "languages_with_qrels": ["eng"], "topics": '
+        '[{"lang": "eng", "source": "original", "topic_title": '
+        '"work life", "topic_description": "year work"}]}\n'
+    )
+    out = run_pipeline({
+        "run": {"path": str(tmp_path / "run")},
+        "documents": {"input": {"format": "parquet", "path": corpus_dir,
+                                "lang": "eng"}},
+        "text": {"stem": "porter"},
+        "topics": {"input": {"format": "jsonl", "path": str(topics),
+                             "lang": "eng", "source": "original"},
+                   "fields": "title+desc"},
+        "retrieve": {"number": 10},
+    })
+    run = read_trec_run(out["results"])
+    assert set(run.column("query_id").to_pylist()) == {"T1", "T2"}
+    # score against qrels built from the run
+    top = run.column("doc_id")[0].as_py()
+    qrels = tmp_path / "qrels.txt"
+    qrels.write_text(f"T1 0 {top} 1\nT2 0 {top} 0\n")
+    out2 = run_pipeline({
+        "run": {"path": str(tmp_path / "run2")},
+        "documents": {"input": {"format": "parquet", "path": corpus_dir}},
+        "text": {"stem": "porter"},
+        "topics": {"input": {"format": "jsonl", "path": str(topics),
+                             "lang": "eng", "source": "original"},
+                   "fields": "title"},
+        "retrieve": {"number": 10},
+        "score": {"qrels": str(qrels),
+                  "metrics": ["map", "ndcg'", "P@5", "recall@10"]},
+    })
+    text = (tmp_path / "run2" / "scores.txt").read_text()
+    assert "ndcg_prime" in text and "\tall\t" in text
