@@ -530,6 +530,42 @@ QUALIFY rank < {TOP_K} ORDER BY query_id, rank
 """
 
 
+def _language_id_sql() -> str:
+    """Stopword-voting language id: per-language profile word lists
+    embedded as VALUES; argmax hits with lexicographic tie-break,
+    'und' on zero hits."""
+    from patapsco_ray.functions.textstats import _LANGID_EXTRA
+
+    profiles = {
+        lang: sorted(load_stopwords("lucene", lang))
+        for lang in ("eng", "rus", "spa")
+    }
+    for lang, words in _LANGID_EXTRA.items():
+        profiles[lang] = sorted(words)
+    rows = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang in sorted(profiles) for w in profiles[lang]
+        if "'" not in w
+    )
+    return f"""
+WITH toks AS ({_TOKS}),
+prof(lang, w) AS (VALUES {rows}),
+hits AS (
+  SELECT t.doc_id, p.lang, count(*) AS n
+  FROM toks t JOIN prof p ON t.term = p.w
+  GROUP BY 1, 2),
+best AS (
+  SELECT doc_id, lang, n,
+    row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, lang) AS rn
+  FROM hits)
+SELECT d.doc_id,
+  coalesce(b.lang, 'und') AS pred_lang,
+  CAST(coalesce(b.n, 0) AS BIGINT) AS n_hits
+FROM documents d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     sw_list = ", ".join(
         f"'{w}'" for w in sorted(load_stopwords("lucene", "eng"))
@@ -591,6 +627,7 @@ def oracle_sql() -> dict[str, str]:
         "url_duplicates": """
             SELECT min(doc_id) AS keep_id, count(*) AS n_copies
             FROM documents GROUP BY doc_id % 50, doc_id % 7""",
+        "language_id": _language_id_sql(),
         "window_agg": """
             SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
               event_type, count(*) AS n_events,
