@@ -256,6 +256,10 @@ def build_index(
     if isinstance(paths, (str, pathlib.Path)):
         p = pathlib.Path(paths)
         paths = sorted(str(f) for f in p.glob("*.parquet")) if p.is_dir() else [str(p)]
+    if not paths:
+        # reference GlobIterator errors on empty matches
+        # (util/__init__.py:222-301)
+        raise FileNotFoundError("no parquet inputs to index")
     index_dir = pathlib.Path(index_dir)
     index_dir.mkdir(parents=True, exist_ok=True)
     descriptors = plan_segments(paths, rows_per_segment)

@@ -305,6 +305,8 @@ def build_index_shuffle(
     if isinstance(paths, (str, pathlib.Path)):
         p = pathlib.Path(paths)
         paths = sorted(str(f) for f in p.glob("*.parquet")) if p.is_dir() else [str(p)]
+    if not paths:
+        raise FileNotFoundError("no parquet inputs to index")
     index_dir = pathlib.Path(index_dir)
     if index_dir.exists():
         shutil.rmtree(index_dir)

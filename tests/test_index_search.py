@@ -210,3 +210,38 @@ def test_explain_sums_to_score(corpus_index):
         assert any(t["tf"] > 0 for t in ex["terms"])
     with pytest.raises(KeyError):
         explain(s, "gato", "no-such-doc")
+
+
+def test_edge_empty_and_null_inputs(ray_session, tmp_path):
+    """Edge inputs: empty corpus builds a searchable empty index;
+    null-text rows index with dl=0; a pathless build errors clearly
+    (reference GlobIterator empty-match validation)."""
+    import pyarrow as pa
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    pq.write_table(
+        pa.table({"url": pa.array([], pa.string()),
+                  "text": pa.array([], pa.string())}),
+        empty / "e.parquet")
+    m = build_index(str(empty), tmp_path / "eidx", text_config=CFG,
+                    html_column=None)
+    assert m["ndocs"] == 0
+    assert IndexSearcher(tmp_path / "eidx").search("anything") == []
+
+    nulls = tmp_path / "nulls"
+    nulls.mkdir()
+    pq.write_table(
+        pa.table({"url": ["a", "b"],
+                  "text": pa.array(["hello world", None], pa.string())}),
+        nulls / "n.parquet")
+    m2 = build_index(str(nulls), tmp_path / "nidx", text_config=CFG,
+                     html_column=None)
+    assert m2["ndocs"] == 2 and m2["total_tf"] == 2
+    hits = IndexSearcher(tmp_path / "nidx").search("hello", k=5)
+    assert [h["doc_id"] for h in hits] == ["a"]
+
+    nofiles = tmp_path / "nofiles"
+    nofiles.mkdir()
+    with pytest.raises(FileNotFoundError):
+        build_index(str(nofiles), tmp_path / "xidx")
