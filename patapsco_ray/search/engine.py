@@ -281,6 +281,13 @@ class IndexSearcher:
     ):
         self.index_dir = str(index_dir)
         self.manifest = read_manifest(index_dir)
+        if not (pathlib.Path(index_dir) / "global_terms").exists():
+            # without merged (df, cf) stats every query would silently
+            # match nothing — fail loudly instead
+            raise FileNotFoundError(
+                f"{index_dir} has no global_terms/ — the build ran with "
+                "finalize=False; run index.finalize_index first"
+            )
         self.lang = self.manifest["lang"]
         cfgd = self.manifest.get("text_config", {})
         self.text_config = text_config or TextConfig(

@@ -245,3 +245,18 @@ def test_edge_empty_and_null_inputs(ray_session, tmp_path):
     nofiles.mkdir()
     with pytest.raises(FileNotFoundError):
         build_index(str(nofiles), tmp_path / "xidx")
+
+
+def test_unfinalized_index_fails_loudly(ray_session, tmp_path):
+    """An index built with finalize=False has no global stats; opening
+    a searcher on it must error clearly, not silently match nothing."""
+    import pyarrow as pa
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(pa.table({"url": ["x"], "text": ["hello"]}),
+                   d / "d.parquet")
+    build_index(str(d), tmp_path / "idx", text_config=CFG,
+                html_column=None, finalize=False)
+    with pytest.raises(FileNotFoundError, match="finalize"):
+        IndexSearcher(tmp_path / "idx")
