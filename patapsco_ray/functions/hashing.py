@@ -24,6 +24,49 @@ def hash_strings(arr: pa.Array | pa.ChunkedArray, seed: int = 0) -> np.ndarray:
     return s.hash(seed=seed).to_numpy().astype(_U64, copy=False)
 
 
+def stable_hash_strings(arr: pa.Array | pa.ChunkedArray,
+                        seed: int = 0) -> np.ndarray:
+    """Version-stable vectorized 64-bit string hash -> uint64 ndarray.
+
+    A fixed algorithm over the raw utf8 bytes (8-byte little-endian
+    words mixed with splitmix64, length folded in at the end), built
+    only from numpy ops — identical output across polars/pyarrow/numpy
+    versions. Use this (NOT ``hash_strings``) whenever the hash is
+    persisted to disk, e.g. the doc-store bucket routing.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = arr.cast(pa.large_binary())
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=_U64)
+    buffers = arr.buffers()
+    offsets = np.frombuffer(buffers[1], dtype=np.int64)[
+        arr.offset:arr.offset + n + 1]
+    lens = np.diff(offsets)
+    total = int(offsets[-1] - offsets[0])
+    nwords = max(int(np.ceil(lens.max() / 8)), 1) if total else 1
+    mat = np.zeros((n, nwords * 8), dtype=np.uint8)
+    if total:
+        flat = np.frombuffer(buffers[2], dtype=np.uint8)[
+            offsets[0]:offsets[-1]]
+        row_idx = np.repeat(np.arange(n), lens)
+        col_idx = np.arange(total) - np.repeat(offsets[:-1] - offsets[0], lens)
+        mat[row_idx, col_idx] = flat
+    words = mat.view("<u8").reshape(n, nwords)
+    with np.errstate(over="ignore"):
+        acc = np.full(n, _U64(seed) ^ _U64(0x9E3779B97F4A7C15), dtype=_U64)
+        for w in range(nwords):
+            # only strings that actually reach word w mix it in, so the
+            # result is independent of the batch's max length
+            covered = lens > w * 8
+            if not covered.any():
+                break
+            acc = np.where(covered, splitmix64(acc ^ words[:, w]), acc)
+        acc = splitmix64(acc ^ lens.astype(_U64))
+    return acc
+
+
 def splitmix64(x: np.ndarray) -> np.ndarray:
     """Deterministic 64-bit mixer (splitmix64 finalizer), vectorized."""
     x = x.astype(_U64, copy=True)

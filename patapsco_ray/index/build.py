@@ -371,16 +371,50 @@ def finalize_index(index_dir, manifest: dict) -> None:
             for f in seg_term_files
         )
         agg = tbl.group_by("term").aggregate([("df", "sum"), ("cf", "sum")])
-        agg = agg.rename_columns(["term", "df", "cf"])
+        # select/rename by NAME: TableGroupBy.aggregate's column order
+        # (keys first vs last) has changed across pyarrow versions
+        agg = agg.select(["term", "df_sum", "cf_sum"]).rename_columns(
+            ["term", "df", "cf"])
         agg = agg.sort_by([("term", "ascending")])
         pq.write_table(agg, out_dir / "part-0.parquet",
                        row_group_size=1 << 16)
+        write_global_terms_ranges(out_dir)
         return
     ds = ray.data.read_parquet(seg_term_files, columns=["term", "df", "cf"])
     agg = ds.groupby("term").sum(["df", "cf"])
     # sum() names columns sum(df)/sum(cf); normalize names
     agg = agg.rename_columns({"sum(df)": "df", "sum(cf)": "cf"})
-    agg.write_parquet(str(out_dir))
+    # sort = Ray's range-partitioned sort, so the parallel parquet write
+    # produces disjoint term-range shards, sorted within each file.
+    # Query-time lookups prune whole shards by the recorded ranges and
+    # row groups inside the survivor by parquet min/max stats — without
+    # the sort every lookup would scan every shard.
+    agg.sort("term").write_parquet(str(out_dir))
+    write_global_terms_ranges(out_dir)
+
+
+def write_global_terms_ranges(out_dir: str | pathlib.Path) -> None:
+    """Record each global_terms shard's [min,max] term range in a
+    sidecar, read by ``search.engine.lookup_global_stats`` to skip
+    shards that cannot contain a query's terms."""
+    import json
+
+    out_dir = pathlib.Path(out_dir)
+    ranges = {}
+    for f in sorted(out_dir.glob("*.parquet")):
+        md = pq.read_metadata(f)
+        idx = md.schema.to_arrow_schema().names.index("term")
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                lo, hi = None, None
+                break
+            lo = st.min if lo is None or st.min < lo else lo
+            hi = st.max if hi is None or st.max > hi else hi
+        if lo is not None:
+            ranges[f.name] = [lo, hi]
+    (out_dir / "_ranges.json").write_text(json.dumps(ranges))
 
 
 def total_index_stats(manifest: dict) -> dict:

@@ -449,5 +449,7 @@ def build_index_shuffle(
         pq.read_table(seg / "terms.parquet", columns=["term", "df", "cf"]),
         gt / "part-0.parquet",
     )
+    from .build import write_global_terms_ranges
+    write_global_terms_ranges(gt)
     write_manifest(index_dir, manifest)
     return manifest

@@ -47,13 +47,29 @@ def process_query(text: str, processor: TextProcessor) -> list[str]:
 
 
 def lookup_global_stats(index_dir, terms: list[str]) -> dict[str, tuple[int, int]]:
-    """(df, cf) per term from the merged global_terms shards, using
-    parquet predicate pushdown on the sorted term column."""
+    """(df, cf) per term from the merged global_terms shards.
+
+    Two-level pruning: whole shards are skipped via the ``_ranges.json``
+    sidecar written at finalize time (shards are disjoint term ranges
+    when the Ray merge path ran), then row groups inside surviving
+    shards are pruned by parquet min/max stats on the sorted term
+    column."""
+    import json
+
     gt = pathlib.Path(index_dir) / "global_terms"
     if not terms or not gt.exists():
         return {}
     uniq = sorted(set(terms))
     files = sorted(str(f) for f in gt.glob("*.parquet"))
+    ranges_path = gt / "_ranges.json"
+    if ranges_path.exists():
+        ranges = json.loads(ranges_path.read_text())
+        files = [
+            f for f in files
+            if pathlib.Path(f).name not in ranges
+            or any(ranges[pathlib.Path(f).name][0] <= t
+                   <= ranges[pathlib.Path(f).name][1] for t in uniq)
+        ]
     out: dict[str, tuple[int, int]] = {}
     for f in files:
         t = pq.read_table(f, filters=[("term", "in", uniq)])
@@ -346,6 +362,12 @@ class IndexSearcher:
         ``psq AND (t1^p1 t2^p2) AND (...)``."""
         from .psq import parse_psq_query
 
+        if not hasattr(self.scorer, "idf"):
+            # projected-statistics scoring is defined for BM25 only; a
+            # QLD scorer would die later with AttributeError deep in
+            # score_psq — fail with a clear config error instead
+            raise ValueError(
+                f"psq requires the bm25 scorer, got {self.scorer_name!r}")
         clauses = parse_psq_query(query) if isinstance(query, str) else query
         if not clauses:
             return []

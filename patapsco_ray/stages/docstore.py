@@ -12,6 +12,7 @@ written once, in parallel, by Ray's parquet sink.
 
 from __future__ import annotations
 
+import json
 import pathlib
 
 import numpy as np
@@ -21,9 +22,15 @@ import pyarrow.dataset as pads
 
 import ray.data
 
-from ..functions.hashing import hash_strings
+from ..functions.hashing import stable_hash_strings
 
 DEFAULT_BUCKETS = 64
+
+# bump if the routing hash algorithm ever changes; stores written with a
+# different version fail loudly instead of silently missing lookups
+HASH_VERSION = "stable-splitmix-v1"
+
+_META_FILE = "_store_meta.json"
 
 
 def write_doc_store(
@@ -37,7 +44,8 @@ def write_doc_store(
 
     def add_bucket(tbl: pa.Table) -> pa.Table:
         ids = pc.cast(tbl.column(id_column), pa.string()).combine_chunks()
-        bucket = (hash_strings(ids) % np.uint64(num_buckets)).astype(np.int32)
+        bucket = (stable_hash_strings(ids)
+                  % np.uint64(num_buckets)).astype(np.int32)
         return tbl.append_column("bucket", pa.array(bucket))
 
     path = pathlib.Path(path)
@@ -45,6 +53,15 @@ def write_doc_store(
     ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
         str(path), partition_cols=["bucket"]
     )
+    # the modulus and hash algorithm are part of the on-disk contract:
+    # record them so readers never have to infer (empty high buckets
+    # made max(bucket)+1 wrong) and a hash change can't silently
+    # misroute lookups
+    (path / _META_FILE).write_text(json.dumps({
+        "num_buckets": num_buckets,
+        "hash": HASH_VERSION,
+        "id_column": id_column,
+    }))
     return str(path)
 
 
@@ -61,14 +78,28 @@ class DocStore:
                  num_buckets: int | None = None):
         self.path = pathlib.Path(path)
         self.id_column = id_column
-        buckets = sorted(
-            int(p.name.split("=")[1])
-            for p in self.path.glob("bucket=*")
-        )
-        if not buckets:
+        meta_path = self.path / _META_FILE
+        if meta_path.exists():
+            meta = json.loads(meta_path.read_text())
+            if meta.get("hash") != HASH_VERSION:
+                raise ValueError(
+                    f"doc store at {path} was written with hash "
+                    f"{meta.get('hash')!r}, this reader uses {HASH_VERSION!r}"
+                    " — rebuild the store")
+            self.num_buckets = int(meta["num_buckets"])
+            self.id_column = meta.get("id_column", id_column)
+        elif num_buckets is not None:
+            self.num_buckets = num_buckets
+        else:
+            raise FileNotFoundError(
+                f"no {_META_FILE} under {path} and num_buckets not given; "
+                "inferring the modulus from populated partitions is unsafe "
+                "(empty high buckets would misroute lookups)")
+        if not any(self.path.glob("bucket=*")):
             raise FileNotFoundError(f"no bucket partitions under {path}")
-        self.num_buckets = num_buckets or (max(buckets) + 1)
-        self._ds = pads.dataset(str(self.path), partitioning="hive")
+        self._ds = pads.dataset(
+            str(self.path), partitioning="hive",
+            ignore_prefixes=[".", "_"])
 
     def lookup(self, doc_ids: list[str], columns: list[str] | None = None
                ) -> pa.Table:
@@ -77,7 +108,7 @@ class DocStore:
         ids = [str(d) for d in doc_ids]
         arr = pa.array(ids, pa.string())
         wanted_buckets = np.unique(
-            hash_strings(arr) % np.uint64(self.num_buckets)
+            stable_hash_strings(arr) % np.uint64(self.num_buckets)
         ).astype(np.int64)
         filt = (
             pads.field("bucket").isin([int(b) for b in wanted_buckets])

@@ -124,16 +124,15 @@ def rerank_results(
     constructor_kwargs: dict,
     concurrency: int | tuple[int, int] = (1, 4),
 ) -> ray.data.Dataset:
-    """Apply a reranker actor pool query-by-query: groups the flat
-    results by query so each batch holds complete queries."""
+    """Apply a reranker actor pool query-by-query.
 
-    def regroup(grp: pa.Table) -> pa.Table:
-        return grp
-
-    grouped = results.groupby("query_id").map_groups(
-        regroup, batch_format="pyarrow"
-    )
-    return grouped.map_batches(
+    The reranker class runs INSIDE ``groupby().map_groups`` so every
+    invocation sees exactly one query's complete candidate list — a
+    downstream ``map_batches`` with its own batch size could split or
+    merge blocks across query boundaries and hand the reranker a
+    partial run (reference rerank.py:70-172 scripts assume complete
+    per-query input)."""
+    return results.groupby("query_id").map_groups(
         reranker_cls,
         fn_constructor_kwargs=constructor_kwargs,
         batch_format="pyarrow",

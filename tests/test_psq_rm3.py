@@ -125,3 +125,11 @@ def test_rm3_empty_query(ray_session, psq_index, tmp_path_factory):
     write_doc_store(ds, d / "store", num_buckets=1)
     s = IndexSearcher(psq_index)
     assert search_rm3(s, DocStore(d / "store"), "", k=5) == []
+
+
+def test_psq_requires_bm25(psq_index):
+    """ADVICE r1: retrieve.name=qld + psq must be a clear config error,
+    not an AttributeError deep in scoring."""
+    s = IndexSearcher(psq_index, scorer="qld")
+    with pytest.raises(ValueError, match="bm25"):
+        s.search_psq("psq AND (cat^0.7 dog^0.3)")

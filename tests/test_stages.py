@@ -132,3 +132,60 @@ def test_shell_reranker(store_path, results_ds, tmp_path):
     q1 = out[out["query_id"] == "q1"].sort_values("rank")
     assert q1["doc_id"].tolist() == ["u6", "u0"]  # reversed
     assert q1["score"].tolist() == [2.0, 4.0]
+
+
+def test_doc_store_default_buckets_no_silent_miss(ray_session, tmp_path):
+    """ADVICE r1: with the default 64 buckets and a small corpus many
+    buckets are empty; the modulus must come from store metadata, not
+    max(populated bucket)+1, or lookups silently miss documents."""
+    ids = [f"doc-{i}" for i in range(50)]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": ids, "text": [f"text {i}" for i in range(50)],
+    }))
+    path = tmp_path / "bigstore"
+    write_doc_store(ds, path)  # default num_buckets=64
+    store = DocStore(path)
+    assert store.num_buckets == 64
+    t = store.lookup(ids)
+    assert sorted(t.column("doc_id").to_pylist()) == sorted(ids)
+
+
+def test_doc_store_meta_required(ray_session, tmp_path):
+    ids = ["a", "b"]
+    ds = ray.data.from_arrow(pa.table({"doc_id": ids, "text": ids}))
+    path = tmp_path / "store"
+    write_doc_store(ds, path, num_buckets=8)
+    meta = path / "_store_meta.json"
+    assert meta.exists()
+    # tampered hash version fails loudly instead of misrouting
+    import json
+    doc = json.loads(meta.read_text())
+    doc["hash"] = "other-algo-v0"
+    meta.write_text(json.dumps(doc))
+    with pytest.raises(ValueError, match="hash"):
+        DocStore(path)
+    # no meta + no explicit modulus refuses to guess
+    meta.unlink()
+    with pytest.raises(FileNotFoundError, match="num_buckets"):
+        DocStore(path)
+    # explicit modulus still works without meta
+    store = DocStore(path, num_buckets=8)
+    assert sorted(store.lookup(ids).column("doc_id").to_pylist()) == ids
+
+
+def test_stable_hash_strings_golden():
+    """Pinned outputs: the bucket-routing hash is persisted on disk, so
+    any algorithm change must be caught (bump HASH_VERSION)."""
+    import numpy as np
+    from patapsco_ray.functions.hashing import stable_hash_strings
+    h = stable_hash_strings(pa.array(["", "a", "doc-42", "héllo wörld"]))
+    assert h.dtype == np.uint64
+    assert h.tolist() == [
+        7960286522194355700, 8383303738522507310,
+        5827168639349437504, 16427943038149904659,
+    ]
+    # independent of batch composition (padding width must not leak in)
+    assert stable_hash_strings(pa.array(["a"])).tolist() == [h[1]]
+    # slice/chunk invariance (buffer offsets must be honored)
+    arr = pa.chunked_array([pa.array(["x", ""]), pa.array(["a", "doc-42"])])
+    assert (stable_hash_strings(arr)[2:] == h[1:3]).all()
