@@ -118,14 +118,21 @@ class SegmentBuilder:
 
     def __init__(self, index_dir: str, text_config: TextConfig, lang: str,
                  id_column: str = "url", text_column: str = "text",
-                 html_column: str | None = "html"):
+                 html_column: str | None = "html",
+                 vectorize: bool | None = None):
+        from .fastpath import FastDocProcessor, supports_fast_path
+
         self.index_dir = index_dir
         self.processor = TextProcessor(text_config, lang)
         self.id_column = id_column
         self.text_column = text_column
         self.html_column = html_column
+        use_fast = (supports_fast_path(text_config)
+                    if vectorize is None else vectorize)
+        self.fast = (FastDocProcessor(text_config, lang)
+                     if use_fast else None)
 
-    def _iter_input_batches(self, desc: dict):
+    def _iter_input_batches(self, desc: dict, batch_size: int = 8192):
         columns = [self.id_column, self.text_column]
         if self.html_column:
             columns.append(self.html_column)
@@ -138,8 +145,73 @@ class SegmentBuilder:
             seen.add(key)
             pf = pq.ParquetFile(path)
             avail = [c for c in columns if c in pf.schema_arrow.names]
-            yield from pf.iter_batches(batch_size=8192, row_groups=rgs,
+            yield from pf.iter_batches(batch_size=batch_size, row_groups=rgs,
                                        columns=avail)
+
+    def _build_fast(self, desc: dict) -> dict:
+        """Vectorized build: the whole per-document chain runs as
+        Arrow/numpy kernels (index/fastpath.py); per-row Python only
+        for non-ASCII normalization and html-fallback rows."""
+        from .fastpath import TermVocab, flat_postings_sorted
+
+        vocab = TermVocab()
+        tid_parts: list[np.ndarray] = []
+        ord_parts: list[np.ndarray] = []
+        tf_parts: list[np.ndarray] = []
+        id_parts: list[pa.Array] = []
+        dl_parts: list[np.ndarray] = []
+        rejected = 0
+        input_rows = 0
+        ordinal_base = 0
+        for batch in self._iter_input_batches(desc, batch_size=32768):
+            r = self.fast.process_batch(batch, self.id_column,
+                                        self.text_column, self.html_column)
+            n = len(r["ids"])
+            input_rows += n
+            keep = r["keep"]
+            nkept = int(keep.sum())
+            rejected += n - nkept
+            ids = r["ids"]
+            if nkept != n:
+                ids = ids.filter(pa.array(keep))
+            id_parts.append(ids)
+            dl_parts.append(r["dl"])
+            gid = vocab.map_codes(r["dict_strings"])
+            if len(r["pair_code"]):
+                tid_parts.append(gid[r["pair_code"]])
+                ord_parts.append(r["pair_doc"] + ordinal_base)
+                tf_parts.append(r["pair_tf"])
+            ordinal_base += nkept
+
+        dl = (np.concatenate(dl_parts) if dl_parts
+              else np.empty(0, dtype=np.int64))
+        norms = encode_lengths(dl)
+        terms_sorted, term_offsets, ords_cat, tfs_cat = flat_postings_sorted(
+            vocab, tid_parts, ord_parts, tf_parts)
+        from .segment import build_terms_table_from_flat
+
+        terms_table, npostings = build_terms_table_from_flat(
+            terms_sorted, term_offsets, ords_cat, tfs_cat, norms)
+        doc_ids = (pa.concat_arrays([a.combine_chunks()
+                                     if isinstance(a, pa.ChunkedArray) else a
+                                     for a in id_parts])
+                   if id_parts else pa.array([], pa.string()))
+        docs_table = pa.table(
+            {"doc_id": doc_ids, "dl": pa.array(dl), "norm": pa.array(norms)},
+            schema=DOCS_SCHEMA,
+        )
+        meta = {
+            "input_files": desc["files"],
+            "row_groups": [list(r) for r in desc["row_groups"]],
+            "input_rows": input_rows,
+            "ndocs": len(doc_ids),
+            "rejected": rejected,
+            "total_tf": int(dl.sum()),
+            "nterms": terms_table.num_rows,
+            "npostings": npostings,
+        }
+        return write_segment(self.index_dir, desc["seg_id"], terms_table,
+                             docs_table, meta)
 
     def build(self, desc: dict) -> dict:
         if segment_is_complete(self.index_dir, desc["seg_id"], desc["files"],
@@ -147,6 +219,8 @@ class SegmentBuilder:
             meta = read_meta(self.index_dir, desc["seg_id"])
             meta["resumed"] = True
             return meta
+        if self.fast is not None:
+            return self._build_fast(desc)
 
         postings: dict[str, tuple[list, list]] = {}
         doc_ids: list[str] = []
@@ -238,6 +312,7 @@ def build_index(
     concurrency: int | tuple[int, int] | None = None,
     resume: bool = True,
     finalize: bool = True,
+    vectorize: bool | None = None,
 ) -> dict:
     """Build (or resume) an index; returns the manifest dict.
 
@@ -291,6 +366,7 @@ def build_index(
             "id_column": id_column,
             "text_column": text_column,
             "html_column": html_column,
+            "vectorize": vectorize,
         },
         batch_size=1,
         concurrency=concurrency,

@@ -68,14 +68,104 @@ class FragmentEmitter:
 
     def __init__(self, index_dir: str, text_config: TextConfig, lang: str,
                  id_column: str, text_column: str, html_column: str | None,
-                 salt_range_rows: int):
+                 salt_range_rows: int, vectorize: bool | None = None):
+        from .fastpath import FastDocProcessor, supports_fast_path
+
         self.index_dir = pathlib.Path(index_dir)
         self.processor = TextProcessor(text_config, lang)
         self.id_column = id_column
         self.text_column = text_column
         self.html_column = html_column
         self.salt_range = salt_range_rows
+        use_fast = (supports_fast_path(text_config)
+                    if vectorize is None else vectorize)
+        self.fast = (FastDocProcessor(text_config, lang)
+                     if use_fast else None)
         (self.index_dir / "docs_parts").mkdir(parents=True, exist_ok=True)
+
+    def _emit_block_fast(self, desc: dict, base: int) -> pa.Table:
+        """Vectorized variant of ``_emit_block`` (index/fastpath.py);
+        rejected docs keep their ordinal with dl=0, as in the per-row
+        path."""
+        from .fastpath import TermVocab, flat_postings_sorted
+
+        columns = [self.id_column, self.text_column]
+        if self.html_column:
+            columns.append(self.html_column)
+        vocab = TermVocab()
+        tid_p, ord_p, tf_p = [], [], []
+        id_parts, dl_parts = [], []
+        local_base = 0
+        for path, rgs in zip(desc["files"], desc["row_groups"]):
+            pf = pq.ParquetFile(path)
+            avail = [c for c in columns if c in pf.schema_arrow.names]
+            for batch in pf.iter_batches(batch_size=32768, row_groups=rgs,
+                                         columns=avail):
+                r = self.fast.process_batch(
+                    batch, self.id_column, self.text_column,
+                    self.html_column)
+                n = len(r["ids"])
+                keep = r["keep"]
+                id_parts.append(r["ids"])
+                dl_full = np.zeros(n, dtype=np.int64)
+                dl_full[keep] = r["dl"]
+                dl_parts.append(dl_full)
+                row_pos = np.flatnonzero(keep)
+                gid = vocab.map_codes(r["dict_strings"])
+                if len(r["pair_code"]):
+                    tid_p.append(gid[r["pair_code"]])
+                    ord_p.append(local_base + row_pos[r["pair_doc"]])
+                    tf_p.append(r["pair_tf"])
+                local_base += n
+
+        dl = (np.concatenate(dl_parts) if dl_parts
+              else np.empty(0, dtype=np.int64))
+        norms = encode_lengths(dl)
+        doc_ids = (pa.concat_arrays([a.combine_chunks()
+                                     if isinstance(a, pa.ChunkedArray) else a
+                                     for a in id_parts])
+                   if id_parts else pa.array([], pa.string()))
+        part = pa.table(
+            {"doc_id": doc_ids, "dl": pa.array(dl), "norm": pa.array(norms)},
+            schema=DOCS_SCHEMA,
+        )
+        out = self.index_dir / "docs_parts" / f"part-{desc['seg_id']}.parquet"
+        tmp = out.with_suffix(".parquet.tmp")
+        pq.write_table(part, tmp)
+        tmp.rename(out)
+
+        terms_sorted, term_offsets, ords_cat, tfs_cat = flat_postings_sorted(
+            vocab, tid_p, ord_p, tf_p)
+        n = len(ords_cat)
+        if n == 0:
+            return FRAGMENT_SCHEMA.empty_table()
+        norms_cat = norms[ords_cat]
+        g = ords_cat + base
+        salts = g // self.salt_range
+        tid_flat = np.repeat(np.arange(len(terms_sorted)),
+                             np.diff(term_offsets))
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        change[term_offsets[1:-1]] = True
+        change[1:] |= salts[1:] != salts[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        f_term = [terms_sorted[t] for t in tid_flat[starts]]
+        return pa.table(
+            {"term": pa.array(f_term, pa.string()),
+             "salt": pa.array(salts[starts], pa.int64()),
+             "base": pa.array(g[starts], pa.int64()),
+             "ords": pa.array([g[s:e].astype("<i8").tobytes()
+                               for s, e in zip(starts, ends)],
+                              pa.large_binary()),
+             "tfs": pa.array([tfs_cat[s:e].astype("<i4").tobytes()
+                              for s, e in zip(starts, ends)],
+                             pa.large_binary()),
+             "norms": pa.array([norms_cat[s:e].astype(np.uint8).tobytes()
+                                for s, e in zip(starts, ends)],
+                               pa.large_binary())},
+            schema=FRAGMENT_SCHEMA,
+        )
 
     def _emit_block(self, desc: dict, base: int) -> pa.Table:
         import collections
@@ -156,6 +246,8 @@ class FragmentEmitter:
         if isinstance(batch, pa.Table):
             batch = batch.to_pydict()
         tables = []
+        emit = (self._emit_block_fast if self.fast is not None
+                else self._emit_block)
         for i in range(len(batch["seg_id"])):
             desc = {
                 "seg_id": str(batch["seg_id"][i]),
@@ -163,7 +255,7 @@ class FragmentEmitter:
                 "row_groups": [[int(x) for x in r]
                                for r in batch["row_groups"][i]],
             }
-            tables.append(self._emit_block(desc, int(batch["base"][i])))
+            tables.append(emit(desc, int(batch["base"][i])))
         return pa.concat_tables(tables)
 
 
@@ -292,6 +384,7 @@ def build_index_shuffle(
     rows_per_block: int = 250_000,
     salt_range_rows: int = 1 << 20,
     concurrency: int | tuple[int, int] | None = None,
+    vectorize: bool | None = None,
 ) -> dict:
     """Build a single-segment global index via the groupby-term shuffle.
 
@@ -334,6 +427,7 @@ def build_index_shuffle(
             "text_column": text_column,
             "html_column": html_column,
             "salt_range_rows": salt_range_rows,
+            "vectorize": vectorize,
         },
         batch_size=1,
         concurrency=concurrency,

@@ -36,20 +36,37 @@ def varint_encode(values: np.ndarray, return_lengths: bool = False):
     if v.size == 0:
         empty = np.empty(0, dtype=np.uint8)
         return (empty, np.empty(0, dtype=np.int64)) if return_lengths else empty
-    # number of 7-bit groups per value (1..10)
+    # posting deltas/tfs are far below 2^32 in practice; working in
+    # uint32 halves the memory traffic of every pass below
+    if v.size and int(v.max()) < (1 << 32):
+        v = v.astype(np.uint32)
+        one = np.uint32(1)
+        seven_f = np.uint32(0x7F)
+        max_groups = 5
+    else:
+        one = np.uint64(1)
+        seven_f = np.uint64(0x7F)
+        max_groups = 10
+    # number of 7-bit groups per value (1..max); stop as soon as no
+    # value needs another group (typical postings need 1-3)
     nb = np.ones(v.shape, dtype=np.int64)
-    threshold = np.uint64(1 << 7)
-    for g in range(1, 10):
-        nb += (v >= threshold).astype(np.int64)
-        if g < 9:
-            threshold = np.uint64(1) << np.uint64(7 * (g + 1))
+    for g in range(1, max_groups):
+        m = v >= (one << type(one)(7 * g))
+        if not m.any():
+            break
+        nb += m
     ends = np.cumsum(nb)
     starts = ends - nb
     out = np.zeros(int(ends[-1]), dtype=np.uint8)
     max_nb = int(nb.max())
-    for g in range(max_nb):
+    # first byte of every value (no mask needed)
+    first = (v & seven_f).astype(np.uint8)
+    if max_nb > 1:
+        first |= (nb > 1).astype(np.uint8) << 7
+    out[starts] = first
+    for g in range(1, max_nb):
         mask = nb > g
-        chunk = (v[mask] >> np.uint64(7 * g)) & np.uint64(0x7F)
+        chunk = (v[mask] >> type(one)(7 * g)) & seven_f
         cont = (nb[mask] > g + 1).astype(np.uint8) << 7
         out[starts[mask] + g] = chunk.astype(np.uint8) | cont
     if return_lengths:

@@ -133,15 +133,7 @@ def read_manifest(index_dir) -> dict:
 
 def build_terms_table(postings_by_term: dict, norms: np.ndarray) -> tuple[pa.Table, int]:
     """Encode an in-memory {term: ([ordinals], [tfs])} map into the
-    term-sorted Arrow table; returns (table, total_postings).
-
-    Encoding runs as ONE vectorized pass over the concatenated posting
-    arrays (codec.encode_postings_bulk) — per-term encode calls were
-    ~70% of segment-build wall time — and the Arrow binary/list
-    columns are assembled zero-copy from the flat outputs + offsets.
-    """
-    from .codec import encode_postings_bulk
-
+    term-sorted Arrow table; returns (table, total_postings)."""
     terms_sorted = sorted(postings_by_term)
     T = len(terms_sorted)
     if T == 0:
@@ -158,6 +150,36 @@ def build_terms_table(postings_by_term: dict, norms: np.ndarray) -> tuple[pa.Tab
         ords, tfs = postings_by_term[t]
         ords_cat[start:start + len(ords)] = ords
         tfs_cat[start:start + len(tfs)] = tfs
+    return build_terms_table_from_flat(
+        terms_sorted, term_offsets, ords_cat, tfs_cat, norms)
+
+
+def build_terms_table_from_flat(
+    terms_sorted: list[str],
+    term_offsets: np.ndarray,
+    ords_cat: np.ndarray,
+    tfs_cat: np.ndarray,
+    norms: np.ndarray,
+) -> tuple[pa.Table, int]:
+    """Encode already-flat term-major posting arrays (the vectorized
+    build path, index/fastpath.py) into the term-sorted Arrow table;
+    returns (table, total_postings).
+
+    Encoding runs as ONE vectorized pass over the concatenated posting
+    arrays (codec.encode_postings_bulk) — per-term encode calls were
+    ~70% of segment-build wall time — and the Arrow binary/list
+    columns are assembled zero-copy from the flat outputs + offsets.
+    """
+    from .codec import encode_postings_bulk
+
+    T = len(terms_sorted)
+    if T == 0:
+        return TERMS_SCHEMA.empty_table(), 0
+    term_offsets = np.asarray(term_offsets, dtype=np.int64)
+    ords_cat = np.asarray(ords_cat, dtype=np.int64)
+    tfs_cat = np.asarray(tfs_cat, dtype=np.int64)
+    counts = np.diff(term_offsets)
+    n = int(term_offsets[-1])
     norms_cat = norms[ords_cat] if norms.size else np.zeros(n, dtype=np.uint8)
 
     enc = encode_postings_bulk(ords_cat, tfs_cat, norms_cat, term_offsets)

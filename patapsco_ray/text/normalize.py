@@ -178,6 +178,53 @@ class Normalizer:
         return text
 
 
+def pre_normalize_batch(texts):
+    """Vectorized ``pre_normalize`` over a pyarrow string array.
+
+    ASCII rows (the vast majority of web text after extraction) run
+    entirely through Arrow RE2 kernels: for ASCII input the chain
+    reduces to collapsing non-newline whitespace runs to one space and
+    deleting the remaining control bytes (fix_encoding, format-char
+    strip and NFC are identities on ASCII). Non-ASCII rows fall back to
+    the per-string Python chain and are scattered back with
+    ``replace_with_mask`` — output is byte-identical to calling
+    ``Normalizer.pre_normalize`` per row (asserted by
+    tests/test_normalize.py::test_pre_normalize_batch_parity).
+
+    Nulls pass through as nulls.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    # ASCII chain: collapse [space \t \x0b \x0c \r]+ -> " ", then drop
+    # control bytes that survive the collapse (\n is kept)
+    out = pc.replace_substring_regex(
+        texts, pattern="[ \t\x0b\x0c\r]+", replacement=" ")
+    out = pc.replace_substring_regex(
+        out, pattern="[\x00-\x08\x0e-\x1f\x7f]", replacement="")
+    non_ascii = pc.fill_null(pc.invert(pc.string_is_ascii(texts)), False)
+    if pc.any(non_ascii).as_py():
+        import numpy as np
+
+        idx = np.flatnonzero(non_ascii.to_numpy(zero_copy_only=False))
+        fixed = [pre_normalize(s)
+                 for s in texts.take(pa.array(idx)).to_pylist()]
+        out = pc.replace_with_mask(out, non_ascii,
+                                   pa.array(fixed, type=out.type))
+    return out
+
+
+def pre_normalize(text: str) -> str:
+    """Module-level pre_normalize (the full per-string chain)."""
+    text = fix_encoding(text)
+    text = update_spaces(text)
+    text = remove_control_chars(text)
+    text = remove_format_chars(text)
+    return standardize_combining_chars(text)
+
+
 # Factory seam kept for parity with NormalizerFactory (normalize.py:183-202).
 _LANGS = {"ara", "eng", "fas", "heb", "ind", "kor", "rus", "spa", "zho"}
 
