@@ -372,6 +372,38 @@ def _concat_partition(grp: pa.Table) -> pa.Table:
     }, schema=TERMS_SCHEMA)
 
 
+class _TermShardWriter:
+    """Writes one sorted term-range block as a terms shard + a slim
+    (term, df, cf) global-stats shard; returns per-shard stats only.
+    Shard names derive from the block's first term via the stable hash
+    (terms are unique across blocks after the merge, so names cannot
+    collide)."""
+
+    def __init__(self, terms_dir: str, global_dir: str):
+        self.terms_dir = pathlib.Path(terms_dir)
+        self.global_dir = pathlib.Path(global_dir)
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"nterms": pa.array([], pa.int64()),
+                             "npostings": pa.array([], pa.int64())})
+        from ..functions.hashing import stable_hash_strings
+
+        tbl = tbl.select(TERMS_SCHEMA.names).cast(TERMS_SCHEMA)
+        first = tbl.column("term").slice(0, 1).combine_chunks()
+        name = f"part-{int(stable_hash_strings(first)[0]):016x}.parquet"
+        tmp = self.terms_dir / (name + ".tmp")
+        pq.write_table(tbl, tmp, row_group_size=4096)
+        tmp.rename(self.terms_dir / name)
+        pq.write_table(tbl.select(["term", "df", "cf"]),
+                       self.global_dir / name, row_group_size=1 << 16)
+        return pa.table({
+            "nterms": pa.array([tbl.num_rows], pa.int64()),
+            "npostings": pa.array(
+                [int(tbl.column("df").to_numpy().sum())], pa.int64()),
+        })
+
+
 def build_index_shuffle(
     paths: str | list[str],
     index_dir: str | pathlib.Path,
@@ -474,30 +506,45 @@ def build_index_shuffle(
     seg = index_dir / "seg=g00000"
     seg.mkdir()
 
-    # stream the term-sorted result into the segment file: driver holds
-    # one batch at a time, not the whole dictionary
-    nterms = 0
-    npostings = 0
-    with pq.ParquetWriter(seg / "terms.parquet", TERMS_SCHEMA) as w:
-        for batch in merged.sort("term").iter_batches(
-            batch_format="pyarrow", batch_size=4096
-        ):
-            t = batch.select(TERMS_SCHEMA.names).cast(TERMS_SCHEMA)
-            nterms += t.num_rows
-            npostings += int(t.column("df").to_numpy().sum())
-            w.write_table(t)
+    # Parallel final write: Ray's sort range-partitions the term table
+    # into disjoint, internally-sorted blocks; each block is written as
+    # its own shard straight from the task (terms/<part>.parquet, plus
+    # a slim (term,df,cf) global_terms shard) — no driver-side
+    # single-writer bottleneck. Readers stitch shards back into global
+    # term order via footer min/max stats (segment.py:terms_files).
+    terms_dir = seg / "terms"
+    terms_dir.mkdir()
+    gt = index_dir / "global_terms"
+    gt.mkdir()
+    stats = (
+        merged.sort("term")
+        .map_batches(
+            _TermShardWriter,
+            fn_constructor_kwargs={"terms_dir": str(terms_dir),
+                                   "global_dir": str(gt)},
+            batch_size=None,
+            batch_format="pyarrow",
+            concurrency=(1, concurrency if isinstance(concurrency, int)
+                         else concurrency[1]),
+        )
+        .take_all()
+    )
+    nterms = int(sum(s["nterms"] for s in stats))
+    npostings = int(sum(s["npostings"] for s in stats))
+    from .build import write_global_terms_ranges
+    write_global_terms_ranges(gt)
 
-    # assemble the ordinal-ordered doc table from the side outputs
-    part_files = sorted((index_dir / "docs_parts").glob("part-*.parquet"))
+    # the ordinal-ordered doc table keeps its per-block part files
+    # (ordinals == part order == file-name order; segment.py:docs_files)
+    docs_dir = seg / "docs"
+    (index_dir / "docs_parts").rename(docs_dir)
     ndocs = 0
     total_tf = 0
-    with pq.ParquetWriter(seg / "docs.parquet", DOCS_SCHEMA) as w:
-        for f in part_files:
-            t = pq.read_table(f)
-            ndocs += t.num_rows
-            total_tf += int(t.column("dl").to_numpy().sum())
-            w.write_table(t)
-    shutil.rmtree(index_dir / "docs_parts")
+    for f in sorted(docs_dir.glob("part-*.parquet")):
+        md = pq.read_metadata(f)
+        ndocs += md.num_rows
+        t = pq.read_table(f, columns=["dl"])
+        total_tf += int(t.column("dl").to_numpy().sum())
     meta = {
         "seg_id": "g00000",
         "input_files": [f for d in blocks for f in d["files"]],
@@ -536,14 +583,5 @@ def build_index_shuffle(
         "total_tf": meta["total_tf"],
         "avgdl": meta["total_tf"] / meta["ndocs"] if meta["ndocs"] else 0.0,
     }
-    # global term stats are the segment's own term table
-    gt = index_dir / "global_terms"
-    gt.mkdir()
-    pq.write_table(
-        pq.read_table(seg / "terms.parquet", columns=["term", "df", "cf"]),
-        gt / "part-0.parquet",
-    )
-    from .build import write_global_terms_ranges
-    write_global_terms_ranges(gt)
     write_manifest(index_dir, manifest)
     return manifest

@@ -32,6 +32,8 @@ import ray.data
 
 
 from .segment import (
+    read_docs,
+    read_terms,
     DOCS_SCHEMA,
     TERMS_SCHEMA,
     read_manifest,
@@ -93,7 +95,7 @@ def _merge_group(index_dir: str, out_dir: str, group: list[dict],
     bases = []
     base = 0
     for seg in group:
-        t = pq.read_table(seg_dir(index_dir, seg["seg_id"]) / "docs.parquet")
+        t = read_docs(index_dir, seg["seg_id"])
         doc_tables.append(t)
         bases.append(base)
         base += t.num_rows
@@ -104,7 +106,7 @@ def _merge_group(index_dir: str, out_dir: str, group: list[dict],
     # an absolute first ordinal; gaps are base-invariant)
     merged: dict[str, list[tuple]] = {}
     for gi, seg in enumerate(group):
-        t = pq.read_table(seg_dir(index_dir, seg["seg_id"]) / "terms.parquet")
+        t = read_terms(index_dir, seg["seg_id"])
         b = bases[gi]
         cols = {name: t.column(name).to_pylist() for name in (
             "term", "df", "cf", "postings", "block_offsets",

@@ -103,21 +103,65 @@ def segment_is_complete(index_dir, seg_id: str, input_files, row_groups) -> bool
     )
 
 
+def _min_term_of(path: pathlib.Path) -> str:
+    md = pq.read_metadata(path)
+    idx = md.schema.to_arrow_schema().names.index("term")
+    return md.row_group(0).column(idx).statistics.min
+
+
+def terms_files(index_dir, seg_id: str) -> list[pathlib.Path]:
+    """The segment's term table file(s) in global term order.
+
+    Two layouts: a single ``terms.parquet`` (aligned build) or a
+    ``terms/`` directory of disjoint term-range shards written in
+    parallel by the shuffle build; shards are sorted within and ordered
+    here by their min-term footer stat, so concatenation is globally
+    term-sorted."""
+    d = seg_dir(index_dir, seg_id)
+    single = d / "terms.parquet"
+    if single.exists():
+        return [single]
+    tdir = d / "terms"
+    if tdir.is_dir():
+        files = [p for p in tdir.iterdir() if p.suffix == ".parquet"]
+        return sorted(files, key=_min_term_of)
+    raise FileNotFoundError(f"no terms table for segment {seg_id} in {d}")
+
+
+def docs_files(index_dir, seg_id: str) -> list[pathlib.Path]:
+    """The segment's doc table file(s) in ordinal order (single
+    ``docs.parquet``, or a ``docs/`` directory whose part file names
+    sort in write/ordinal order)."""
+    d = seg_dir(index_dir, seg_id)
+    single = d / "docs.parquet"
+    if single.exists():
+        return [single]
+    ddir = d / "docs"
+    if ddir.is_dir():
+        return sorted(p for p in ddir.iterdir() if p.suffix == ".parquet")
+    raise FileNotFoundError(f"no docs table for segment {seg_id} in {d}")
+
+
 def read_terms(
     index_dir, seg_id: str, terms: list[str] | None = None, columns=None
 ) -> pa.Table:
     """Read the term table, optionally filtered to a term subset via
-    parquet predicate pushdown (terms.parquet is term-sorted, so row
-    groups are pruned by their min/max stats)."""
-    path = seg_dir(index_dir, seg_id) / "terms.parquet"
+    parquet predicate pushdown (term-sorted row groups are pruned by
+    their min/max stats)."""
     filters = None
     if terms is not None:
         filters = [("term", "in", sorted(set(terms)))]
-    return pq.read_table(path, columns=columns, filters=filters)
+    tables = [
+        pq.read_table(path, columns=columns, filters=filters)
+        for path in terms_files(index_dir, seg_id)
+    ]
+    return tables[0] if len(tables) == 1 else pa.concat_tables(tables)
 
 
 def read_docs(index_dir, seg_id: str, columns=None) -> pa.Table:
-    return pq.read_table(seg_dir(index_dir, seg_id) / "docs.parquet", columns=columns)
+    tables = [pq.read_table(p, columns=columns)
+              for p in docs_files(index_dir, seg_id)]
+    return tables[0] if len(tables) == 1 else pa.concat_tables(tables)
 
 
 def write_manifest(index_dir, manifest: dict) -> None:

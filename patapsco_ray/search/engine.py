@@ -105,32 +105,42 @@ class SegmentScorer:
         self._rg_ranges: list[tuple[str, str]] | None = None
 
     def term_rows(self, terms: list[str]) -> dict[str, dict]:
-        """Read this segment's rows for a sorted term list, reusing a
-        cached ParquetFile handle (footer parsed once per segment, not
-        once per query batch) and pruning row groups by the term
-        column's min/max statistics."""
+        """Read this segment's rows for a sorted term list, reusing
+        cached ParquetFile handles (footers parsed once per segment,
+        not once per query batch) and pruning row groups by the term
+        column's min/max statistics. Handles both the single-file and
+        the sharded ``terms/`` layout (segment.py:terms_files)."""
         if self._pf is None:
-            self._pf = pq.ParquetFile(
-                seg_dir(self.index_dir, self.seg_id) / "terms.parquet")
-            md = self._pf.metadata
-            idx = self._pf.schema_arrow.names.index("term")
-            self._rg_ranges = [
-                (md.row_group(i).column(idx).statistics.min,
-                 md.row_group(i).column(idx).statistics.max)
-                for i in range(md.num_row_groups)
-            ]
+            from ..index.segment import terms_files
+
+            self._pf = []
+            self._rg_ranges = []
+            for path in terms_files(self.index_dir, self.seg_id):
+                pf = pq.ParquetFile(path)
+                md = pf.metadata
+                idx = pf.schema_arrow.names.index("term")
+                self._pf.append(pf)
+                self._rg_ranges.append([
+                    (md.row_group(i).column(idx).statistics.min,
+                     md.row_group(i).column(idx).statistics.max)
+                    for i in range(md.num_row_groups)
+                ])
         wanted = sorted(terms)
-        rgs = [
-            i for i, (lo, hi) in enumerate(self._rg_ranges)
-            if any(lo <= t <= hi for t in wanted)
-        ]
-        if not rgs:
-            return {}
-        tbl = self._pf.read_row_groups(rgs)
-        mask = pa.compute.is_in(tbl.column("term"),
-                                value_set=pa.array(wanted, pa.string()))
-        tbl = tbl.filter(mask)
-        return {r["term"]: r for r in tbl.to_pylist()}
+        out: dict[str, dict] = {}
+        for pf, ranges in zip(self._pf, self._rg_ranges):
+            rgs = [
+                i for i, (lo, hi) in enumerate(ranges)
+                if any(lo <= t <= hi for t in wanted)
+            ]
+            if not rgs:
+                continue
+            tbl = pf.read_row_groups(rgs)
+            mask = pa.compute.is_in(tbl.column("term"),
+                                    value_set=pa.array(wanted, pa.string()))
+            tbl = tbl.filter(mask)
+            for r in tbl.to_pylist():
+                out[r["term"]] = r
+        return out
 
     def doc_ids_for(self, ordinals: np.ndarray) -> list[str]:
         if self._doc_ids is None:

@@ -197,9 +197,10 @@ def test_shuffle_build_fast_slow_identical(ray_session, tmp_path):
                               salt_range_rows=128, vectorize=False)
     assert m_f["ndocs"] == m_s["ndocs"]
     assert m_f["total_tf"] == m_s["total_tf"]
-    tf = pq.read_table(tmp_path / "sf" / "seg=g00000" / "terms.parquet")
-    ts = pq.read_table(tmp_path / "ss" / "seg=g00000" / "terms.parquet")
+    from patapsco_ray.index.segment import read_docs, read_terms
+    tf = read_terms(tmp_path / "sf", "g00000")
+    ts = read_terms(tmp_path / "ss", "g00000")
     assert tf.equals(ts)
-    df = pq.read_table(tmp_path / "sf" / "seg=g00000" / "docs.parquet")
-    ds_ = pq.read_table(tmp_path / "ss" / "seg=g00000" / "docs.parquet")
+    df = read_docs(tmp_path / "sf", "g00000")
+    ds_ = read_docs(tmp_path / "ss", "g00000")
     assert df.equals(ds_)

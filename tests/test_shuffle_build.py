@@ -2,6 +2,8 @@
 build, salting behavior, manifest lineage."""
 
 import pyarrow.parquet as pq
+
+from patapsco_ray.index.segment import read_terms
 import pytest
 
 from patapsco_ray.index import build_index, build_index_shuffle
@@ -50,12 +52,11 @@ def test_salting_splits_head_terms(indexes):
     # pick the highest-df term: its postings span many 512-doc salt
     # ranges; blocks from separate salted runs must decode to one
     # ascending ordinal sequence
-    all_terms = pq.read_table(f"{s}/seg=g00000/terms.parquet",
+    all_terms = read_terms(s, "g00000",
                               columns=["term", "df"])
     head = max(zip(all_terms.column("df").to_pylist(),
                    all_terms.column("term").to_pylist()))[1]
-    t = pq.read_table(f"{s}/seg=g00000/terms.parquet",
-                      filters=[("term", "=", head)])
+    t = read_terms(s, "g00000", terms=[head])
     assert t.num_rows == 1
     assert t.column("df")[0].as_py() > 512  # really spans salt ranges
     from patapsco_ray.index import decode_postings
