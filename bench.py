@@ -26,12 +26,30 @@ from __future__ import annotations
 
 import argparse
 import json
+import logging
 import os
 import pathlib
 import shutil
 import subprocess
 import sys
 import time
+
+
+class _EmptyShuffleBundleFilter(logging.Filter):
+    """Drop Ray's 'RefBundle with a different schema ... new schema: .'
+    warning ONLY when the new schema is empty: Ray's sort/groupby
+    operators emit schema-less bundles for empty shuffle partitions
+    (our own stages pin explicit schemas, functions/windows.py). Any
+    real schema mismatch (non-empty new schema) still surfaces."""
+
+    def filter(self, record: logging.LogRecord) -> bool:
+        msg = record.getMessage()
+        return not ("different schema" in msg and "new schema: ." in msg)
+
+
+logging.getLogger(
+    "ray.data._internal.execution.streaming_executor_state"
+).addFilter(_EmptyShuffleBundleFilter())
 
 REPO = pathlib.Path(__file__).resolve().parent
 CORPUS_DIR = "/tmp/patapsco_bench_corpus"

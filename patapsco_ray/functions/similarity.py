@@ -125,15 +125,29 @@ def cosine_neardup_pairs(
     threshold: float = 0.4,
     id_column: str = "vec_id",
     vector_column: str = "embedding",
+    exact_max_rows: int | None = 200_000,
+    planes: int = 12,
+    num_tables: int = 4,
+    seed: int = 5,
+    max_bucket_rows: int = 20_000,
 ) -> ray.data.Dataset:
-    """Exact all-pairs embedding near-duplicates.
+    """Embedding near-duplicate pairs: (id_a, id_b, score_1e6) with
+    id_a < id_b and cosine >= threshold.
 
-    Returns (id_a, id_b, score_1e6) with id_a < id_b and cosine >=
-    threshold. Blocked matmul over the dataset's materialized Arrow
-    blocks — B blocks -> B(B+1)/2 Ray tasks; inherently O(n^2) work, so
-    this is the exact small/medium-scale baseline (use LSH bucketing
-    beyond that).
+    Scale-adaptive: at or below ``exact_max_rows`` rows the EXACT
+    all-pairs blocked matmul runs (the oracle-checked baseline); above
+    it, a streaming LSH-bucketed path (`random-hyperplane buckets x
+    num_tables` -> within-bucket exact verify -> pair dedup) that never
+    materializes the dataset and whose recall < 1 by construction —
+    near-identical vectors collide in at least one table with high
+    probability. Pass ``exact_max_rows=None`` to force the exact path.
     """
+    if exact_max_rows is not None and ds.count() > exact_max_rows:
+        return _neardup_lsh(
+            ds, threshold=threshold, id_column=id_column,
+            vector_column=vector_column, planes=planes,
+            num_tables=num_tables, seed=seed,
+            max_bucket_rows=max_bucket_rows)
     proj = ds.select_columns([id_column, vector_column]).materialize()
     refs = proj.to_arrow_refs()
 
@@ -168,6 +182,111 @@ def cosine_neardup_pairs(
         for j in range(i, len(refs)):
             tasks.append(block_pair.remote(refs[i], refs[j], i == j))
     return ray.data.from_arrow_refs(tasks)
+
+
+class _NeardupBucketEmitter:
+    """map_batches stage: replicate each row into its ``num_tables``
+    LSH buckets (hyperplanes generated once per actor, deterministic
+    in (seed, dim))."""
+
+    def __init__(self, planes: int, num_tables: int, seed: int,
+                 id_column: str, vector_column: str):
+        self.planes = planes
+        self.num_tables = num_tables
+        self.seed = seed
+        self.id_column = id_column
+        self.vector_column = vector_column
+        self._R: np.ndarray | None = None
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        out_schema = pa.schema([
+            ("bucket", pa.int64()),
+            (self.id_column, tbl.schema.field(self.id_column).type),
+            (self.vector_column, tbl.schema.field(self.vector_column).type),
+        ])
+        X = _normalize(_matrix(tbl, self.vector_column))
+        if X.shape[0] == 0:
+            return out_schema.empty_table()
+        if self._R is None:
+            rng = np.random.default_rng(self.seed)
+            self._R = rng.standard_normal(
+                (self.num_tables, X.shape[1], self.planes))
+        parts = []
+        shifts = np.arange(self.planes, dtype=np.uint64)
+        sub = tbl.select([self.id_column, self.vector_column])
+        for t in range(self.num_tables):
+            bits = (X @ self._R[t]) > 0
+            bucket = ((bits.astype(np.uint64) << shifts).sum(axis=1)
+                      | np.uint64(t << self.planes)).astype(np.int64)
+            parts.append(sub.add_column(
+                0, "bucket", pa.array(bucket, pa.int64())))
+        return pa.concat_tables(parts).cast(out_schema)
+
+
+def _neardup_lsh(
+    ds: ray.data.Dataset,
+    *,
+    threshold: float,
+    id_column: str,
+    vector_column: str,
+    planes: int,
+    num_tables: int,
+    seed: int,
+    max_bucket_rows: int,
+) -> ray.data.Dataset:
+    """Streaming LSH near-dup path: bucket -> within-bucket exact
+    verify -> (id_a, id_b) dedup across tables. The only shuffles move
+    (bucket, id, embedding) rows and the (small) verified pairs; no
+    driver-side materialization. Buckets larger than
+    ``max_bucket_rows`` are truncated by ascending id (a safety valve
+    against degenerate buckets; with default planes the expected
+    bucket is ndocs / 2^planes)."""
+
+    bucketed = ds.map_batches(
+        _NeardupBucketEmitter,
+        fn_constructor_kwargs={
+            "planes": planes, "num_tables": num_tables, "seed": seed,
+            "id_column": id_column, "vector_column": vector_column,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+    def pairs_in_bucket(grp: pa.Table) -> pa.Table:
+        id_type = grp.schema.field(id_column).type
+        out_schema = pa.schema([
+            ("id_a", id_type), ("id_b", id_type),
+            ("score_1e6", pa.int64()),
+        ])
+        if grp.num_rows < 2:
+            return out_schema.empty_table()
+        if grp.num_rows > max_bucket_rows:
+            order = pa.compute.sort_indices(grp.column(id_column))
+            grp = grp.take(order.slice(0, max_bucket_rows))
+        X = _normalize(_matrix(grp, vector_column))
+        ids = grp.column(id_column).to_numpy(zero_copy_only=False)
+        S = X @ X.T
+        ii, jj = np.nonzero(S >= threshold)
+        keep = ids[ii] < ids[jj]
+        ii, jj = ii[keep], jj[keep]
+        return pa.table({
+            "id_a": pa.array(ids[ii], id_type),
+            "id_b": pa.array(ids[jj], id_type),
+            "score_1e6": pa.array(_scaled(S[ii, jj])),
+        }, schema=out_schema)
+
+    pairs = bucketed.groupby("bucket").map_groups(
+        lambda g: pairs_in_bucket(g.drop_columns(["bucket"])),
+        batch_format="pyarrow",
+    )
+
+    def first_row(grp: pa.Table) -> pa.Table:
+        return grp.slice(0, 1)
+
+    # the same pair can surface from several tables/buckets: keep one
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        first_row, batch_format="pyarrow")
 
 
 def lsh_cosine_topk(

@@ -22,6 +22,28 @@ import pyarrow.compute as pc
 import ray.data
 
 
+def _field_type(ds: ray.data.Dataset, column: str) -> pa.DataType:
+    """Input column type (metadata-only for parquet-backed datasets);
+    used to pin explicit output schemas so empty shuffle partitions
+    can't emit schema-less blocks (Ray warns 'RefBundle with a
+    different schema ... new schema: <empty>')."""
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    return base.field(column).type
+
+
+def _pin(schema: pa.Schema):
+    """Terminal map that normalizes every block (including the empty
+    ones Ray's shuffle can produce) to one explicit schema."""
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return schema.empty_table()
+        return tbl.cast(schema)
+
+    return fn
+
+
 def tumbling_window_agg(
     ds: ray.data.Dataset,
     *,
@@ -38,6 +60,12 @@ def tumbling_window_agg(
     """
     unit = {"m": 60, "h": 3600, "d": 86400}[window[-1]]
     width_us = int(window[:-1]) * unit * 1_000_000
+    out_fields = [("window_start", pa.timestamp("us"))]
+    if key_column:
+        out_fields.append((key_column, _field_type(ds, key_column)))
+    out_fields += [("n_events", pa.int64()), ("sum_value_1e6", pa.int64()),
+                   ("min_value_1e6", pa.int64()), ("max_value_1e6", pa.int64())]
+    out_schema = pa.schema(out_fields)
 
     def partial(tbl: pa.Table) -> pa.Table:
         ts = pc.cast(tbl.column(ts_column), pa.int64()).to_numpy()
@@ -68,6 +96,9 @@ def tumbling_window_agg(
     )
 
     def finish(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+
         def scaled(col):
             return pa.array(np.floor(
                 tbl.column(col).to_numpy().astype(np.float64) * 1e6 + 0.5
@@ -83,9 +114,10 @@ def tumbling_window_agg(
         out["sum_value_1e6"] = scaled("sum(v_sum)")
         out["min_value_1e6"] = scaled("min(v_min)")
         out["max_value_1e6"] = scaled("max(v_max)")
-        return pa.table(out)
+        return pa.table(out).cast(out_schema)
 
-    return merged.map_batches(finish, batch_format="pyarrow")
+    return merged.map_batches(finish, batch_format="pyarrow").map_batches(
+        _pin(out_schema), batch_format="pyarrow")
 
 
 def sessionize(
@@ -110,8 +142,18 @@ def sessionize(
     # vectorized scan instead of one Python call per user (the
     # per-key map_groups pattern collapses at web-scale key counts)
     num_parts = max(int(ray.cluster_resources().get("CPU", 4)) * 2, 8)
+    out_schema = pa.schema([
+        (key_column, _field_type(ds, key_column)),
+        ("session_id", pa.int64()),
+        ("n_events", pa.int64()),
+        ("session_start", pa.timestamp("us")),
+        ("session_end", pa.timestamp("us")),
+    ])
 
     def add_part(tbl: pa.Table) -> pa.Table:
+        # drop file-level (pandas) schema metadata: it makes pa.Schema
+        # unhashable and trips Ray's schema dedup in the shuffle
+        tbl = tbl.replace_schema_metadata(None)
         keys = pc.cast(tbl.column(key_column), pa.string()).combine_chunks()
         from .hashing import hash_strings
 
@@ -119,6 +161,8 @@ def sessionize(
         return tbl.append_column("part", pa.array(part))
 
     def per_part(grp: pa.Table) -> pa.Table:
+        if grp.num_rows == 0:
+            return out_schema.empty_table()
         grp = grp.combine_chunks()
         order = pa.compute.sort_indices(
             grp.select([key_column, ts_column]),
@@ -147,7 +191,7 @@ def sessionize(
             "session_start": pc.cast(pa.array(ts[starts]),
                                      pa.timestamp("us")),
             "session_end": pc.cast(pa.array(ts[ends]), pa.timestamp("us")),
-        })
+        }).cast(out_schema)
 
     return (
         ds.map_batches(add_part, batch_format="pyarrow",
@@ -155,6 +199,7 @@ def sessionize(
         .groupby("part")
         .map_groups(lambda g: per_part(g.drop_columns(["part"])),
                     batch_format="pyarrow")
+        .map_batches(_pin(out_schema), batch_format="pyarrow")
     )
 
 
@@ -170,15 +215,33 @@ def topk_by_key(
     the grouped-top-k pattern. Per-batch partial top-k inside
     map_batches bounds the shuffle to k rows per (key, block)."""
 
+    out_schema = pa.schema([
+        (key_column, _field_type(ds, key_column)),
+        (id_column, _field_type(ds, id_column)),
+        ("rank", pa.int64()),
+        ("value_1e6", pa.int64()),
+    ])
+
     def partial(tbl: pa.Table) -> pa.Table:
-        keys = np.asarray(tbl.column(key_column).to_pylist(), dtype=object)
+        tbl = tbl.replace_schema_metadata(None)
+        # vectorized grouped top-k: one lexsort of the whole batch by
+        # (key, -value, id), then keep each key's first k rows
         vals = tbl.column(value_column).to_numpy().astype(np.float64)
-        ids = tbl.column(id_column).to_numpy()
-        keep = np.zeros(len(keys), dtype=bool)
-        for key in np.unique(keys):
-            idx = np.flatnonzero(keys == key)
-            order = np.lexsort((ids[idx], -vals[idx]))[:k]
-            keep[idx[order]] = True
+        ids = tbl.column(id_column).to_numpy(zero_copy_only=False)
+        key_codes = (pc.dictionary_encode(
+            tbl.column(key_column).combine_chunks())
+            .indices.to_numpy().astype(np.int64, copy=False))
+        order = np.lexsort((ids, -vals, key_codes))
+        sk = key_codes[order]
+        run_start = np.empty(len(sk), dtype=bool)
+        if len(sk):
+            run_start[0] = True
+            run_start[1:] = sk[1:] != sk[:-1]
+        pos_in_run = np.arange(len(sk)) - np.maximum.accumulate(
+            np.where(run_start, np.arange(len(sk)), 0))
+        keep_sorted = order[pos_in_run < k]
+        keep = np.zeros(len(sk), dtype=bool)
+        keep[keep_sorted] = True
         return tbl.filter(pa.array(keep)).select(
             [key_column, id_column, value_column])
 
@@ -186,6 +249,8 @@ def topk_by_key(
                               zero_copy_batch=True)
 
     def final(grp: pa.Table) -> pa.Table:
+        if grp.num_rows == 0:
+            return out_schema.empty_table()
         vals = grp.column(value_column).to_numpy().astype(np.float64)
         ids = grp.column(id_column).to_numpy()
         order = np.lexsort((ids, -vals))[:k]
@@ -197,10 +262,11 @@ def topk_by_key(
             "rank": pa.array(np.arange(n, dtype=np.int64)),
             "value_1e6": pa.array(
                 np.floor(vals[order] * 1e6 + 0.5).astype(np.int64)),
-        })
+        }).cast(out_schema)
 
     return partials.groupby(key_column).map_groups(
-        final, batch_format="pyarrow")
+        final, batch_format="pyarrow").map_batches(
+        _pin(out_schema), batch_format="pyarrow")
 
 
 def sliding_window_agg(
@@ -224,6 +290,11 @@ def sliding_window_agg(
     if width_us % slide_us:
         raise ValueError("window must be a multiple of slide")
     hops = width_us // slide_us
+    out_fields = [("window_start", pa.timestamp("us"))]
+    if key_column:
+        out_fields.append((key_column, _field_type(ds, key_column)))
+    out_fields += [("n_events", pa.int64()), ("sum_value_1e6", pa.int64())]
+    out_schema = pa.schema(out_fields)
 
     def partial(tbl: pa.Table) -> pa.Table:
         ts = pc.cast(tbl.column(ts_column), pa.int64()).to_numpy()
@@ -256,6 +327,8 @@ def sliding_window_agg(
     )
 
     def finish(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
         out = {
             "window_start": pc.cast(
                 pc.cast(tbl.column("w"), pa.int64()), pa.timestamp("us")),
@@ -266,6 +339,7 @@ def sliding_window_agg(
         out["sum_value_1e6"] = pa.array(np.floor(
             tbl.column("sum(v_sum)").to_numpy().astype(np.float64) * 1e6
             + 0.5).astype(np.int64))
-        return pa.table(out)
+        return pa.table(out).cast(out_schema)
 
-    return merged.map_batches(finish, batch_format="pyarrow")
+    return merged.map_batches(finish, batch_format="pyarrow").map_batches(
+        _pin(out_schema), batch_format="pyarrow")

@@ -229,3 +229,31 @@ def test_multimodal_stubs(ray_session):
     # real backend is an explicit stub
     with pytest.raises(NotImplementedError):
         decode_images(ds, backend="real")
+
+
+def test_cosine_neardup_lsh_path(emb_ds):
+    """The streaming LSH path (forced via exact_max_rows=0) must return
+    only true pairs (precision 1: every pair is exact-verified) and
+    recall the identical/near-identical pairs."""
+    exact = cosine_neardup_pairs(emb_ds, threshold=0.4).to_pandas()
+    truth = set(zip(exact["id_a"], exact["id_b"]))
+    scores = dict(zip(zip(exact["id_a"], exact["id_b"]),
+                      exact["score_1e6"]))
+    # planes trade recall for bucket size: 4 planes x 8 tables gives
+    # strong pairs (cos >= 0.9, collision prob (1-θ/π)^4 ≈ 0.54/table)
+    # ~0.998 recall; the default 12 planes is calibrated for the
+    # >= 0.9-threshold near-dup regime at corpus scale
+    got = cosine_neardup_pairs(
+        emb_ds, threshold=0.4, exact_max_rows=0,
+        planes=4, num_tables=8).to_pandas()
+    found = set(zip(got["id_a"], got["id_b"]))
+    assert found, "LSH path found nothing"
+    # precision: every LSH pair is a true pair with the exact score
+    assert found <= truth
+    for (a, b), s in zip(zip(got["id_a"], got["id_b"]), got["score_1e6"]):
+        assert scores[(a, b)] == s
+    strong = {p for p, s in scores.items() if s >= 900_000}
+    if strong:
+        assert len(found & strong) >= 0.9 * len(strong)
+    # no duplicate pairs across tables
+    assert len(got) == len(found)
