@@ -86,6 +86,46 @@ PSQ_CLAUSES: list[list[tuple[str, float]]] = [
     [("window", 1.0)],
 ]
 
+# Fixed RM3-expanded query models: the output of
+# patapsco_ray.search.rm3.rm3_expand (fb_docs=10, fb_terms=10,
+# original_query_weight=0.5) for RETRIEVAL_QUERIES over the sf0.01
+# documents index/store, frozen here so BOTH the Ray engine and the
+# DuckDB oracle score the SAME weighted queries — this hash-checks the
+# weighted-BM25 scoring of expanded queries end-to-end (the expansion
+# derivation itself stays rows-only via rm3_topk).
+RM3_EXPANDED_QUERIES: dict[str, list[tuple[str, float]]] = {
+    "q1": [("a", 0.040471211995410934), ("fast", 0.04159158181820795),
+           ("hash", 0.2365341790596697), ("join", 0.23702967259696722),
+           ("line", 0.0405732916612102), ("merge", 0.039146067653112175),
+           ("order", 0.04017433611063104), ("scan", 0.24232527061959494),
+           ("slow", 0.03958293707663205), ("vector", 0.042571451408563776)],
+    "q2": [("a", 0.04135068374219488), ("agg", 0.2354793067188704),
+           ("batch", 0.04022881719905773), ("hash", 0.04016769728167509),
+           ("merge", 0.0429073778593336), ("row", 0.04052631927434634),
+           ("scan", 0.04529725996363589), ("small", 0.04569458440490882),
+           ("stream", 0.23324061333590745), ("window", 0.23510734022006974)],
+    "q3": [("batch", 0.22727025328351352), ("column", 0.04065292905676713),
+           ("data", 0.04151558365831449), ("fast", 0.047308813626739374),
+           ("key", 0.039951340012635915), ("line", 0.047648288176814144),
+           ("slow", 0.04098190616482406), ("spark", 0.23415324852632283),
+           ("stream", 0.045821424935952225), ("vector", 0.2346962125581163)],
+    "q4": [("column", 0.04445734203675184), ("customer", 0.22526789046850573),
+           ("filter", 0.04258207185588275), ("order", 0.23493678751737523),
+           ("part", 0.23802394487986248), ("scan", 0.043091617286165146),
+           ("slow", 0.03960263195685583), ("spark", 0.0413203258146937),
+           ("the", 0.044306897357098605), ("window", 0.046410490826808655)],
+    "q5": [("agg", 0.03591172993961116), ("batch", 0.038517171554791646),
+           ("column", 0.04118161820911211), ("fast", 0.19038082683307284),
+           ("filter", 0.18684136549296637), ("join", 0.040340574322715234),
+           ("merge", 0.18721717515190772), ("slow", 0.1873458681653528),
+           ("spark", 0.05700447357068021), ("table", 0.03525919675978991)],
+    "q6": [("column", 0.19511979644741467), ("data", 0.18379196601450679),
+           ("fast", 0.04118041644431046), ("filter", 0.04056827101616324),
+           ("key", 0.043398484294756914), ("part", 0.0434044210987107),
+           ("query", 0.04349503418382157), ("row", 0.1882256348984416),
+           ("table", 0.17556635405993312), ("value", 0.0452496215419409)],
+}
+
 _CACHE_ROOT = pathlib.Path("/tmp/patapsco_ray_cache")
 
 
@@ -227,6 +267,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
 
     q["rm3_topk"] = rm3
+
+    def rm3_weighted(sf: str):
+        # score the FROZEN expanded query models (see
+        # RM3_EXPANDED_QUERIES provenance) — weighted BM25 over exact
+        # doc lengths, hash-checked against the SQL oracle
+        searcher = IndexSearcher(_index_for(sf), quantize_norms=False)
+        qids, dids, scores = [], [], []
+        for qid, pairs in sorted(RM3_EXPANDED_QUERIES.items()):
+            for hit in searcher.search_weighted(dict(pairs), k=TOP_K + 16):
+                qids.append(qid)
+                dids.append(hit["doc_id"])
+                scores.append(hit["score"])
+        tbl = pa.table({
+            "query_id": pa.array(qids, pa.string()),
+            "doc_id": pa.array(dids, pa.string()),
+            "score": pa.array(scores, pa.float64()),
+        })
+        return _rank_rounded(tbl, TOP_K)
+
+    q["rm3_weighted_topk"] = rm3_weighted
 
     def processed_counts(sf: str):
         # full DocumentProcessor chain (stopword removal on) -> token
@@ -441,6 +501,14 @@ _QLD_TERM = (
 )
 
 
+def _rm3_weighted_values() -> str:
+    rows = []
+    for qid, pairs in sorted(RM3_EXPANDED_QUERIES.items()):
+        for term, w in pairs:
+            rows.append(f"('{qid}', '{term}', {w!r})")
+    return ", ".join(rows)
+
+
 def _psq_values() -> str:
     rows = []
     for ci, clause in enumerate(PSQ_CLAUSES):
@@ -534,18 +602,12 @@ def _language_id_sql() -> str:
     """Stopword-voting language id: per-language profile word lists
     embedded as VALUES; argmax hits with lexicographic tie-break,
     'und' on zero hits."""
-    from patapsco_ray.functions.textstats import _LANGID_EXTRA
+    from patapsco_ray.functions.textstats import langid_profiles
 
-    profiles = {
-        lang: sorted(load_stopwords("lucene", lang))
-        for lang in ("eng", "rus", "spa")
-    }
-    for lang, words in _LANGID_EXTRA.items():
-        profiles[lang] = sorted(words)
+    profiles = langid_profiles()
     rows = ", ".join(
-        f"('{lang}', '{w}')"
+        "('{}', '{}')".format(lang, w.replace("'", "''"))
         for lang in sorted(profiles) for w in profiles[lang]
-        if "'" not in w
     )
     return f"""
 WITH toks AS ({_TOKS}),
@@ -578,6 +640,14 @@ def oracle_sql() -> dict[str, str]:
             values=_queries_values(), term_score=_QLD_TERM
         ),
         "psq_topk": _PSQ_SQL.format(values=_psq_values()),
+        # weighted BM25 over the frozen RM3 expansions: score =
+        # sum_t w_t * idf(t) * tf/(tf+denom) with exact doc lengths
+        "rm3_weighted_topk": _RETRIEVAL_BASE.replace(
+            "q(query_id, term)", "q(query_id, term, w)"
+        ).format(
+            values=_rm3_weighted_values(),
+            term_score=f"q.w * ({_BM25_TERM})",
+        ),
         "bm25_topk_quantized": _quantized_bm25_sql(),
         "processed_token_counts": f"""
             WITH toks AS ({_TOKS})

@@ -161,21 +161,36 @@ def quality_signals(
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+LANGID_LUCENE_LANGS = (
+    "ara", "eng", "fas", "heb", "ind", "kor", "rus", "spa", "zho")
+
+
+def langid_profiles() -> dict[str, list[str]]:
+    """The shared language-id profiles (also embedded in the SQL
+    oracle): every bundled Lucene stop list plus the built-in fra/deu
+    word sets."""
+    profiles = {
+        lang: sorted(load_stopwords("lucene", lang))
+        for lang in LANGID_LUCENE_LANGS
+    }
+    for lang, words in _LANGID_EXTRA.items():
+        profiles[lang] = sorted(words)
+    return profiles
+
+
 def language_id(
     ds: ray.data.Dataset, *, id_column: str = "doc_id", text_column: str = "text"
 ) -> ray.data.Dataset:
     """Heuristic language id by stopword voting.
 
-    For each bundled profile (eng/spa/rus Lucene lists + built-in
-    fra/deu), count tokens hitting the profile; predict the argmax
-    (ties -> lexicographically first), 'und' when nothing hits.
+    For each profile (every bundled Lucene stop list —
+    ara/eng/fas/heb/ind/kor/rus/spa/zho — plus built-in fra/deu),
+    count tokens hitting the profile; predict the argmax (ties ->
+    lexicographically first), 'und' when nothing hits.
     Columns: id, pred_lang, n_hits.
     """
-    profiles: dict[str, pa.Array] = {}
-    for lang in ("eng", "rus", "spa"):
-        profiles[lang] = pa.array(sorted(load_stopwords("lucene", lang)))
-    for lang, words in _LANGID_EXTRA.items():
-        profiles[lang] = pa.array(sorted(words))
+    profiles = {lang: pa.array(words)
+                for lang, words in langid_profiles().items()}
     langs = sorted(profiles)
 
     def fn(tbl: pa.Table) -> pa.Table:

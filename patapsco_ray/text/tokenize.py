@@ -59,14 +59,135 @@ class NgramTokenizer:
         return out
 
 
+class MosesTokenizer:
+    """Moses tokenization; reference text.py:163-200 (sacremoses).
+
+    Uses sacremoses when importable; otherwise a rule-based fallback
+    covering the core Moses behaviors the reference's own tests
+    exercise (tests/test_text.py:279-305): punctuation split from
+    words, apostrophe contractions split ("It's" -> It + 's), digits
+    kept whole, Unicode word characters (Arabic etc.) grouped. Like the
+    reference, zho is rejected (Moses has no Chinese support,
+    text.py:440-449 validation matrix).
+    """
+
+    _FALLBACK_RE = None  # compiled lazily (class-level, shared)
+
+    def __init__(self, lang: str = "eng", model_path=None):
+        if lang == "zho":
+            raise ValueError(
+                "moses tokenizer does not support zho (reference "
+                "text.py:440-449)")
+        self.lang = lang
+        try:
+            from sacremoses import MosesTokenizer as _MT  # pragma: no cover
+
+            self._mt = _MT(lang=lang[:2])
+        except ImportError:
+            self._mt = None
+            if MosesTokenizer._FALLBACK_RE is None:
+                import re
+
+                MosesTokenizer._FALLBACK_RE = re.compile(
+                    r"\w+|['’]\w+|[^\w\s]", re.UNICODE)
+
+    def tokenize(self, text: str) -> list[str]:
+        if self._mt is not None:  # pragma: no cover
+            return self._mt.tokenize(text, escape=False)
+        return MosesTokenizer._FALLBACK_RE.findall(text)
+
+
+# CJK unicode ranges for the bigram fallback (the public Lucene
+# CJKAnalyzer approach: index overlapping character bigrams)
+_CJK_RANGES = (
+    (0x4E00, 0x9FFF), (0x3400, 0x4DBF), (0xF900, 0xFAFF),
+    (0x3040, 0x30FF),  # kana
+    (0xAC00, 0xD7AF),  # hangul
+)
+
+
+def _is_cjk(ch: str) -> bool:
+    cp = ord(ch)
+    return any(lo <= cp <= hi for lo, hi in _CJK_RANGES)
+
+
+class JiebaTokenizer:
+    """Chinese segmentation; reference text.py:120-133 (jieba).
+
+    Uses jieba when importable; otherwise falls back to overlapping
+    CJK character bigrams (Lucene CJKAnalyzer style) with non-CJK runs
+    split on whitespace/punctuation. The fallback is NOT
+    jieba-parity — dictionary segmentation ('不但' as one token) needs
+    jieba's lexicon — but gives deterministic, recall-oriented zho
+    tokenization offline. Only zho is accepted (reference
+    tests/test_text.py:274-276)."""
+
+    def __init__(self, lang: str = "zho", model_path=None):
+        if lang != "zho":
+            raise ValueError(
+                f"jieba tokenizer supports zho only, got {lang!r} "
+                "(reference text.py:120-133)")
+        self.lang = lang
+        try:
+            import jieba  # pragma: no cover
+
+            self._jieba = jieba
+        except ImportError:
+            self._jieba = None
+
+    def tokenize(self, text: str) -> list[str]:
+        if self._jieba is not None:  # pragma: no cover
+            return [t for t in self._jieba.lcut(text) if t.strip()]
+        out: list[str] = []
+        run: list[str] = []
+        word: list[str] = []
+
+        def flush_word():
+            if word:
+                out.append("".join(word))
+                word.clear()
+
+        def flush_run():
+            if len(run) == 1:
+                out.append(run[0])
+            else:
+                out.extend(run[i] + run[i + 1] for i in range(len(run) - 1))
+            run.clear()
+
+        for ch in text:
+            if _is_cjk(ch):
+                flush_word()
+                run.append(ch)
+            elif ch.isspace():
+                flush_word()
+                if run:
+                    flush_run()
+            elif ch.isalnum():
+                if run:
+                    flush_run()
+                word.append(ch)
+            else:  # punctuation: its own token (jieba emits these too)
+                flush_word()
+                if run:
+                    flush_run()
+                out.append(ch)
+        flush_word()
+        if run:
+            flush_run()
+        return out
+
+
 TOKENIZERS = {
     "whitespace": WhiteSpaceTokenizer,
     "ngram": NgramTokenizer,
+    "moses": MosesTokenizer,
+    "jieba": JiebaTokenizer,
 }
 
 # Seams for model-based tokenizers (reference text.py:430-524 validation
-# matrix). They raise at construction: the models aren't shipped here.
-_UNAVAILABLE = {"moses", "jieba", "spacy", "stanza"}
+# matrix). They raise at construction: the models aren't shipped here
+# and cannot be approximated without their trained pipelines.
+_UNAVAILABLE = {"spacy", "stanza"}
 
 
 def create_tokenizer(name: str, lang: str, model_path=None):

@@ -123,3 +123,64 @@ def test_processor_query_doc_identical():
     proc = TextProcessor(cfg, "eng")
     assert proc.process("Flooding") == "flood"
     assert proc.process("Articles related to floods.") == "articl relat floods."
+
+
+class TestMosesFallback:
+    """Rule-based Moses fallback (sacremoses absent here); goldens are
+    the reference's own test cases (reference tests/test_text.py:
+    279-305)."""
+
+    def test_english(self):
+        from patapsco_ray.text.tokenize import MosesTokenizer
+
+        text = "Mary had a little lamb. It's fleece was white as snow."
+        ans = ["Mary", "had", "a", "little", "lamb", ".",
+               "It", "'s", "fleece", "was", "white", "as", "snow", "."]
+        assert MosesTokenizer(lang="eng").tokenize(text) == ans
+
+    def test_arabic(self):
+        from patapsco_ray.text.tokenize import MosesTokenizer
+
+        text = ("تمول النفقات الجديدة من خلال حساب كلينتون المصرفي "
+                "الكبير. الحد الأقصى المسموح به للشخص الواحد هو 5000 "
+                "دولار.")
+        ans = ["تمول", "النفقات", "الجديدة", "من", "خلال", "حساب",
+               "كلينتون", "المصرفي", "الكبير", ".", "الحد", "الأقصى",
+               "المسموح", "به", "للشخص", "الواحد", "هو", "5000",
+               "دولار", "."]
+        assert MosesTokenizer(lang="ara").tokenize(text) == ans
+
+    def test_rejects_chinese(self):
+        from patapsco_ray.text.tokenize import MosesTokenizer
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            MosesTokenizer(lang="zho")
+
+
+class TestJiebaFallback:
+    def test_zho_only(self):
+        from patapsco_ray.text.tokenize import JiebaTokenizer
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            JiebaTokenizer(lang="spa")  # reference tests/test_text.py:274
+
+    def test_bigram_fallback(self):
+        from patapsco_ray.text.tokenize import JiebaTokenizer
+
+        tok = JiebaTokenizer(lang="zho")
+        # NOT jieba-parity (jieba's lexicon yields ['不但','要','看',...]);
+        # the fallback indexes overlapping CJK bigrams, Lucene
+        # CJKAnalyzer style, with punctuation as standalone tokens
+        got = tok.tokenize("不但要看,而且要帮。")
+        assert got == ["不但", "但要", "要看", ",",
+                       "而且", "且要", "要帮", "。"]
+
+    def test_mixed_text(self):
+        from patapsco_ray.text.tokenize import JiebaTokenizer
+
+        tok = JiebaTokenizer(lang="zho")
+        assert tok.tokenize("abc 中文 def") == ["abc", "中文", "def"]
+        assert tok.tokenize("中") == ["中"]
+        assert tok.tokenize("x中文y") == ["x", "中文", "y"]
