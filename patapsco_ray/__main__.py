@@ -1,8 +1,13 @@
-"""CLI entry point: ``python -m patapsco_ray <config.yml|config.json>``.
+"""CLI entry points.
 
-Mirrors the reference's ``patapsco config.yml`` command
-(/root/reference/patapsco/bin/main.py:8-25) including ``--set
-key=value`` config overrides (config.py:409-441).
+- ``python -m patapsco_ray <config.yml|config.json>`` — mirrors the
+  reference's ``patapsco config.yml`` command
+  (/root/reference/patapsco/bin/main.py:8-25) including ``--set
+  key=value`` config overrides (config.py:409-441).
+- ``python -m patapsco_ray query -i INDEX -q TEXT [...]`` — one-shot
+  query (reference patapsco/bin/query.py).
+- ``python -m patapsco_ray web -i INDEX --port P [--store DIR]`` —
+  HTTP query/doc service (reference patapsco/bin/web.py:21-58).
 """
 
 from __future__ import annotations
@@ -24,7 +29,80 @@ def _apply_override(cfg: dict, expr: str) -> None:
         node[parts[-1]] = value
 
 
+def _query_main(argv: list[str]) -> int:
+    """Reference patapsco/bin/query.py surface (no Ray session)."""
+    ap = argparse.ArgumentParser(prog="patapsco_ray query",
+                                 description="Query an index once")
+    ap.add_argument("-i", "--index", required=True)
+    ap.add_argument("-q", "--query", required=True)
+    ap.add_argument("--query_lang", default="eng")
+    ap.add_argument("--stem", default=False)
+    ap.add_argument("--stopwords", default=False)
+    ap.add_argument("-c", "--count", type=int, default=None)
+    g = ap.add_mutually_exclusive_group()
+    g.add_argument("--bool", action="store_true", dest="parse_bool")
+    g.add_argument("--psq", default=None, help="PSQ json table path")
+    ap.add_argument("--k1", type=float, default=0.9)
+    ap.add_argument("--b", type=float, default=0.4)
+    ap.add_argument("--qld", action="store_true")
+    ap.add_argument("--mu", type=float, default=1000.0)
+    ap.add_argument("--rm3", action="store_true")
+    ap.add_argument("--store", default=None, help="doc store dir (rm3)")
+    ap.add_argument("--fb_terms", type=int, default=10)
+    ap.add_argument("--fb_docs", type=int, default=10)
+    ap.add_argument("--original_query_weight", type=float, default=0.5)
+    a = ap.parse_args(argv)
+
+    from .web import query_once
+
+    hits = query_once(
+        a.index, a.query, scorer="qld" if a.qld else "bm25",
+        k1=a.k1, b=a.b, mu=a.mu, count=a.count, parse_bool=a.parse_bool,
+        psq_path=a.psq, rm3=a.rm3, store_dir=a.store,
+        fb_terms=a.fb_terms, fb_docs=a.fb_docs,
+        original_query_weight=a.original_query_weight,
+        stem=a.stem, stopwords=a.stopwords, query_lang=a.query_lang,
+    )
+    if not hits:
+        print("No results")  # reference bin/query.py:69
+        return 0
+    for i, h in enumerate(hits):
+        if a.count is not None and i == a.count:
+            break
+        print(f"{h['doc_id']}\t{h['score']}")
+    return 0
+
+
+def _web_main(argv: list[str]) -> int:
+    """Reference patapsco/bin/web.py surface (no Ray session)."""
+    ap = argparse.ArgumentParser(prog="patapsco_ray web",
+                                 description="HTTP query/doc service")
+    ap.add_argument("-i", "--index", required=True)
+    ap.add_argument("--port", required=True, type=int)
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--store", default=None, help="doc store dir")
+    ap.add_argument("--k", type=int, default=1000)
+    a = ap.parse_args(argv)
+
+    from .web import serve
+
+    srv = serve(a.index, store_dir=a.store, host=a.host, port=a.port,
+                k=a.k)
+    print(f"serving on {a.host}:{a.port} (routes: /doc/<id>, "
+          f"/query/<query>)")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        srv.shutdown()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] == "query":
+        return _query_main(argv[1:])
+    if argv and argv[0] == "web":
+        return _web_main(argv[1:])
     ap = argparse.ArgumentParser(
         prog="patapsco_ray",
         description="Run a config-driven index+retrieve pipeline",
