@@ -122,6 +122,12 @@ class SegmentBuilder:
                  vectorize: bool | None = None):
         from .fastpath import FastDocProcessor, supports_fast_path
 
+        # each builder actor is scheduled as ONE cpu: pin Arrow's
+        # internal kernel pool to match, or every actor fans out over
+        # the whole machine and per-stage cpu accounting (and measured
+        # scaling) is meaningless
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
         self.index_dir = index_dir
         self.processor = TextProcessor(text_config, lang)
         self.id_column = id_column
@@ -178,9 +184,13 @@ class SegmentBuilder:
             dl_parts.append(r["dl"])
             gid = vocab.map_codes(r["dict_strings"])
             if len(r["pair_code"]):
-                tid_parts.append(gid[r["pair_code"]])
-                ord_parts.append(r["pair_doc"] + ordinal_base)
-                tf_parts.append(r["pair_tf"])
+                # int32 parts: segment-local term ids / ordinals / tfs
+                # all fit, and the final sort+gathers are memory-bound
+                tid_parts.append(
+                    gid[r["pair_code"]].astype(np.int32, copy=False))
+                ord_parts.append(
+                    (r["pair_doc"] + ordinal_base).astype(np.int32))
+                tf_parts.append(r["pair_tf"].astype(np.int32, copy=False))
             ordinal_base += nkept
 
         dl = (np.concatenate(dl_parts) if dl_parts

@@ -71,6 +71,8 @@ class FragmentEmitter:
                  salt_range_rows: int, vectorize: bool | None = None):
         from .fastpath import FastDocProcessor, supports_fast_path
 
+        pa.set_cpu_count(1)  # one actor == one scheduled cpu
+        pa.set_io_thread_count(2)
         self.index_dir = pathlib.Path(index_dir)
         self.processor = TextProcessor(text_config, lang)
         self.id_column = id_column

@@ -209,8 +209,16 @@ class FastDocProcessor:
             codes = stem_code[codes]
             vocab = new_vocab
         V = len(vocab)
-        key = parent_kept * V + codes
+        # (doc, term) aggregation key; uint32 when it fits (always at
+        # the default batch size) — halves the bandwidth of the
+        # np.unique sort, the hottest post-tokenize step
+        if len(parent_kept) and (int(parent_kept[-1]) + 1) * V < (1 << 32):
+            key = (parent_kept.astype(np.uint32) * np.uint32(V)
+                   + codes.astype(np.uint32))
+        else:
+            key = parent_kept * np.int64(V) + codes
         uk, tf = np.unique(key, return_counts=True)
+        uk = uk.astype(np.int64, copy=False)
         return {
             "ids": ids,
             "keep": keep,
@@ -248,9 +256,9 @@ class TermVocab:
         """(terms sorted lexicographically, rank array: rank[gid] =
         position of that term in sorted order)."""
         order = sorted(range(len(self.terms)), key=self.terms.__getitem__)
-        rank = np.empty(len(order), dtype=np.int64)
+        rank = np.empty(len(order), dtype=np.int32)
         rank[np.asarray(order, dtype=np.int64)] = np.arange(
-            len(order), dtype=np.int64)
+            len(order), dtype=np.int32)
         return [self.terms[i] for i in order], rank
 
 

@@ -60,7 +60,8 @@ def test_jsonl_documents(ray_session, tmp_path):
 def test_tsv_documents(ray_session, tmp_path):
     p = tmp_path / "docs.tsv"
     p.write_text("d1\tpassage one\nd2\tpassage two\n")
-    got = read_tsv_documents(str(p), lang="eng").to_pandas()
+    got = (read_tsv_documents(str(p), lang="eng").to_pandas()
+           .sort_values("doc_id"))  # block order is not guaranteed
     assert got["doc_id"].tolist() == ["d1", "d2"]
     assert got["text"].tolist() == ["passage one", "passage two"]
 
