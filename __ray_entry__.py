@@ -341,6 +341,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["language_id"] = lambda sf: language_id(_docs(sf))  # rows-only
     q["fingerprints"] = lambda sf: fingerprints(_docs(sf))  # rows-only
 
+    def norm_report(sf: str):  # rows-only: difflib opcodes not in SQL
+        from patapsco_ray.text.normalize import normalization_report
+
+        return normalization_report(_docs(sf), text_column="text")
+
+    q["normalization_report"] = norm_report
+
     # --- deduplication ---
     q["exact_duplicates"] = lambda sf: exact_duplicates(_docs(sf))
     q["ngram_jaccard_pairs"] = lambda sf: ngram_jaccard_pairs(

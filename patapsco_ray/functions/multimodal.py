@@ -27,6 +27,8 @@ import pyarrow as pa
 
 import ray.data
 
+from ..util import fixed_pool
+
 
 def _digest_floats(payload: bytes, dim: int, salt: bytes) -> np.ndarray:
     """Deterministic pseudo-features from payload bytes."""
@@ -124,7 +126,7 @@ def decode_images(ds: ray.data.Dataset, *, concurrency=2, batch_size: int = 64,
             "no imaging library in this environment; use backend='fake'")
     return ds.map_batches(
         ImageDecoder, fn_constructor_kwargs=kwargs, batch_size=batch_size,
-        batch_format="pyarrow", concurrency=concurrency, num_cpus=1,
+        batch_format="pyarrow", concurrency=fixed_pool(concurrency), num_cpus=1,
     )
 
 
@@ -135,7 +137,7 @@ def extract_audio_features(ds: ray.data.Dataset, *, concurrency=2,
             "no audio library in this environment; use backend='fake'")
     return ds.map_batches(
         AudioFeaturizer, fn_constructor_kwargs=kwargs, batch_size=batch_size,
-        batch_format="pyarrow", concurrency=concurrency, num_cpus=1,
+        batch_format="pyarrow", concurrency=fixed_pool(concurrency), num_cpus=1,
     )
 
 

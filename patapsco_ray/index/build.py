@@ -359,6 +359,11 @@ def build_index(
     if concurrency is None:
         avail = int(ray.cluster_resources().get("CPU", 4))
         concurrency = max(1, min(len(descriptors), avail))
+    if isinstance(concurrency, int):
+        # (N, N): a FIXED actor pool. A scalar is an autoscaling pool
+        # whose create/destroy churn measured 2x slower end-to-end on
+        # this workload (actors re-pay imports + processor setup)
+        concurrency = (concurrency, concurrency)
 
     ds = ray.data.from_items(
         [
@@ -452,10 +457,15 @@ def finalize_index(index_dir, manifest: dict) -> None:
             f.unlink()
     out_dir.mkdir(parents=True, exist_ok=True)
     if total_rows <= LOCAL_FINALIZE_ROWS:
-        tbl = pa.concat_tables(
-            pq.read_table(f, columns=["term", "df", "cf"])
-            for f in seg_term_files
-        )
+        from concurrent.futures import ThreadPoolExecutor
+
+        # threaded read: one small (term, df, cf) table per segment;
+        # pyarrow releases the GIL so this scales with driver cores
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            parts = list(ex.map(
+                lambda f: pq.read_table(f, columns=["term", "df", "cf"]),
+                seg_term_files))
+        tbl = pa.concat_tables(parts)
         agg = tbl.group_by("term").aggregate([("df", "sum"), ("cf", "sum")])
         # select/rename by NAME: TableGroupBy.aggregate's column order
         # (keys first vs last) has changed across pyarrow versions

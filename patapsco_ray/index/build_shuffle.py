@@ -450,6 +450,9 @@ def build_index_shuffle(
     if concurrency is None:
         avail = int(ray.cluster_resources().get("CPU", 4))
         concurrency = max(1, min(len(items), avail))
+    if isinstance(concurrency, int):
+        # fixed pool — autoscaling churn measured 2x slower (build.py)
+        concurrency = (concurrency, concurrency)
 
     fragments = ray.data.from_items(items).map_batches(
         FragmentEmitter,

@@ -30,6 +30,8 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
+from ..util import fixed_pool
+
 
 from .segment import (
     read_docs,
@@ -268,7 +270,7 @@ def compact_index(
         fn_constructor_kwargs={"index_dir": str(index_dir),
                                "out_dir": str(out_dir)},
         batch_size=1,
-        concurrency=concurrency,
+        concurrency=fixed_pool(concurrency),
         num_cpus=1,
         batch_format="pyarrow",
     ).take_all()

@@ -31,6 +31,46 @@ from ..text.processor import MAX_TEXT_LEN
 from ..text.stopwords import load_stopwords
 
 
+# byte classes for the one-pass row scan: bit 1 = control byte that
+# normalization deletes, bit 2 = non-ASCII byte (UTF-8 lead/cont)
+_BYTE_CLASS = np.zeros(256, dtype=np.uint8)
+for _b in (*range(0x00, 0x09), *range(0x0E, 0x20), 0x7F):
+    _BYTE_CLASS[_b] |= 1
+_BYTE_CLASS[0x80:] |= 2
+
+
+def _scan_rows(texts: pa.Array):
+    """One numpy pass over the utf8 data buffer: per-row flags
+    (has_control_byte, has_non_ascii_byte).
+
+    Classifying raw bytes is sound for both properties: the control
+    set is pure ASCII (never a UTF-8 continuation byte) and any byte
+    >= 0x80 means the row is non-ASCII. Returns (None, None) when the
+    layout isn't a plain null-free string array (caller falls back to
+    the RE2 scan).
+    """
+    if not isinstance(texts, pa.StringArray) or texts.null_count:
+        return None, None
+    bufs = texts.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int32,
+                        count=len(texts) + 1, offset=texts.offset * 4)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    lo, hi = int(off[0]), int(off[-1])
+    cls = _BYTE_CLASS[data[lo:hi]]
+    flagged = np.flatnonzero(cls)
+    n = len(texts)
+    ctrl = np.zeros(n, dtype=bool)
+    nonascii = np.zeros(n, dtype=bool)
+    if len(flagged):
+        # map flagged byte positions back to their rows; with repeated
+        # offsets (empty rows) side="right" lands on the owning row
+        rows = np.searchsorted(off, flagged + lo, side="right") - 1
+        f = cls[flagged]
+        ctrl[rows[(f & 1) != 0]] = True
+        nonascii[rows[(f & 2) != 0]] = True
+    return ctrl, nonascii
+
+
 def _pre_normalize_for_tokens(texts: pa.Array) -> pa.Array:
     """pre_normalize specialized for whitespace tokenization.
 
@@ -45,9 +85,14 @@ def _pre_normalize_for_tokens(texts: pa.Array) -> pa.Array:
     Parity is asserted by tests/test_fastpath.py.
     """
     CTRL = "[\x00-\x08\x0e-\x1f\x7f]"
-    non_ascii = pc.fill_null(pc.invert(pc.string_is_ascii(texts)), False)
-    dirty = pc.fill_null(pc.match_substring_regex(texts, CTRL), False)
-    dirty_ascii = pc.and_(dirty, pc.invert(non_ascii))
+    ctrl_np, nonascii_np = _scan_rows(texts)
+    if ctrl_np is not None:
+        dirty_ascii = pa.array(ctrl_np & ~nonascii_np)
+        non_ascii = pa.array(nonascii_np)
+    else:  # sliced/chunked/null layouts: RE2 scan
+        non_ascii = pc.fill_null(pc.invert(pc.string_is_ascii(texts)), False)
+        dirty = pc.fill_null(pc.match_substring_regex(texts, CTRL), False)
+        dirty_ascii = pc.and_(dirty, pc.invert(non_ascii))
     out = texts
     if pc.any(dirty_ascii).as_py():
         idx = np.flatnonzero(dirty_ascii.to_numpy(zero_copy_only=False))
@@ -154,41 +199,77 @@ class FastDocProcessor:
         # the reference chain lowercases AFTER stemming
         # (post_normalize, docs.py:258): with a stemmer the tokens
         # must keep their case until stemmed; without one, lowering
-        # the whole text first is equivalent and cheapest
-        lower_early = self.lowercase and self.stemmer is None
-        if lower_early:
-            norm = pc.utf8_lower(norm)
-        toks = pc.utf8_split_whitespace(norm)
+        # applies to the small batch dictionary below
+        # ascii split == unicode split here: normalization collapsed
+        # every Unicode whitespace char to " " (ASCII rows skip the
+        # collapse but can only hold ASCII whitespace), and UTF-8
+        # multibyte sequences never contain ASCII-range bytes
+        toks = pc.ascii_split_whitespace(norm)
         flat = pc.list_flatten(toks)
-        parent = pc.list_parent_indices(toks).to_numpy().astype(
-            np.int64, copy=False)
-        token_keep = pc.not_equal(flat, "")
-        if self.stop_set is not None:
-            # stopword identification is case-insensitive even when the
-            # output keeps case (reference text.py:405-411 lowercases
-            # the token for the check)
-            check = flat if lower_early else pc.utf8_lower(flat)
-            token_keep = pc.and_(
-                token_keep,
-                pc.invert(pc.is_in(check, value_set=self.stop_set)))
-        token_keep = np.asarray(
-            token_keep.to_numpy(zero_copy_only=False), dtype=bool)
-        flat_kept = flat.filter(pa.array(token_keep))
-        parent_kept = parent[token_keep]
+        parent = pc.list_parent_indices(toks).to_numpy()  # int32
         nkept_docs = int(keep.sum())
-        dl = np.bincount(parent_kept, minlength=nkept_docs).astype(np.int64)
 
-        if len(flat_kept) == 0:
+        if len(flat) == 0:
+            return {"ids": ids, "keep": keep,
+                    "dl": np.zeros(nkept_docs, np.int64),
+                    "pair_doc": np.empty(0, np.int64),
+                    "pair_code": np.empty(0, np.int64),
+                    "pair_tf": np.empty(0, np.int64),
+                    "dict_strings": []}
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        # dictionary-encode FIRST: every per-token predicate (empty
+        # token, case-insensitive stopword check — reference
+        # text.py:405-411) runs over the batch-unique dictionary
+        # (10^4 strings) instead of the token stream (10^6), and the
+        # token bytes are never copied again
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy()  # int32, zero-copy
+        dict_arr = enc.dictionary
+        dict_keep = pc.not_equal(dict_arr, "")
+        if self.stop_set is not None:
+            dict_keep = pc.and_(
+                dict_keep,
+                pc.invert(pc.is_in(pc.utf8_lower(dict_arr),
+                                   value_set=self.stop_set)))
+        dict_keep = np.asarray(
+            dict_keep.to_numpy(zero_copy_only=False), dtype=bool)
+        if not dict_keep.all():
+            token_keep = dict_keep[codes]
+            parent_kept = parent[token_keep]
+            # compact the dictionary to surviving codes
+            new_code = np.cumsum(dict_keep, dtype=np.int32) - 1
+            codes = new_code[codes[token_keep]]
+            dict_arr = dict_arr.filter(pa.array(dict_keep))
+        else:
+            parent_kept = parent
+        dl = np.bincount(parent_kept, minlength=nkept_docs).astype(np.int64)
+        vocab = dict_arr.to_pylist()
+
+        if len(codes) == 0:
             return {"ids": ids, "keep": keep, "dl": dl,
                     "pair_doc": np.empty(0, np.int64),
                     "pair_code": np.empty(0, np.int64),
                     "pair_tf": np.empty(0, np.int64),
                     "dict_strings": []}
-        if isinstance(flat_kept, pa.ChunkedArray):
-            flat_kept = flat_kept.combine_chunks()
-        enc = flat_kept.dictionary_encode()
-        codes = enc.indices.to_numpy().astype(np.int64, copy=False)
-        vocab = enc.dictionary.to_pylist()
+        if self.lowercase and self.stemmer is None:
+            # no stemmer: post_normalize lowercasing applies to the
+            # dictionary; entries may collide after lowering ("The" ->
+            # "the"), so merge codes exactly like the stemming branch
+            lowered = pc.utf8_lower(dict_arr).to_pylist()
+            sdict: dict[str, int] = {}
+            low_code = np.empty(len(vocab), dtype=np.int32)
+            new_vocab: list[str] = []
+            for i, s in enumerate(lowered):
+                c = sdict.get(s)
+                if c is None:
+                    c = len(new_vocab)
+                    sdict[s] = c
+                    new_vocab.append(s)
+                low_code[i] = c
+            if len(new_vocab) != len(vocab):
+                codes = low_code[codes]
+            vocab = new_vocab
         if self.stemmer is not None:
             # stem the batch dictionary, then merge codes that map to
             # the same stem (their tfs combine in the unique() below);
@@ -196,9 +277,9 @@ class FastDocProcessor:
             stems = self.stemmer.stem(vocab)
             if self.lowercase:
                 stems = [s.lower() for s in stems]
-            sdict: dict[str, int] = {}
-            stem_code = np.empty(len(vocab), dtype=np.int64)
-            new_vocab: list[str] = []
+            sdict = {}
+            stem_code = np.empty(len(vocab), dtype=np.int32)
+            new_vocab = []
             for i, s in enumerate(stems):
                 c = sdict.get(s)
                 if c is None:
@@ -218,13 +299,13 @@ class FastDocProcessor:
         else:
             key = parent_kept * np.int64(V) + codes
         uk, tf = np.unique(key, return_counts=True)
-        uk = uk.astype(np.int64, copy=False)
+        pair_doc, pair_code = np.divmod(uk.astype(np.int64, copy=False), V)
         return {
             "ids": ids,
             "keep": keep,
             "dl": dl,
-            "pair_doc": uk // V,
-            "pair_code": uk % V,
+            "pair_doc": pair_doc,
+            "pair_code": pair_code,
             "pair_tf": tf.astype(np.int64),
             "dict_strings": vocab,
         }

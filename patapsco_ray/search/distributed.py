@@ -27,6 +27,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..util import fixed_pool
+
 from .engine import DEFAULT_K, IndexSearcher, lookup_global_stats, process_query
 
 
@@ -62,7 +64,7 @@ def search_dataset(
                                **searcher_kwargs},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=fixed_pool(concurrency),
     )
 
 
@@ -138,7 +140,7 @@ def search_dataset_by_segment(
                                "k": k, **searcher_kwargs},
         batch_format="pyarrow",
         batch_size=1,
-        concurrency=concurrency,
+        concurrency=fixed_pool(concurrency),
     )
 
     def merge(grp: pa.Table) -> pa.Table:

@@ -48,8 +48,15 @@ def rm3_expand(
     if not hits:
         return orig
     fetched = store.lookup([h["doc_id"] for h in hits])
-    text_col = "text" if "text" in fetched.schema.names else \
-        fetched.schema.names[-1]
+    # the store records its text column in _store_meta.json; fall back
+    # to "text" (the runner's processed-docs layout) when reading a
+    # store written before that field existed
+    text_col = getattr(store, "text_column", "text")
+    if text_col not in fetched.schema.names:
+        raise ValueError(
+            f"doc store at {store.path} has no {text_col!r} column "
+            f"(schema: {fetched.schema.names}); RM3 feedback needs the "
+            "document text")
     doc_text = dict(zip(fetched.column(store.id_column).to_pylist(),
                         fetched.column(text_col).to_pylist()))
 

@@ -39,6 +39,7 @@ def write_doc_store(
     *,
     id_column: str = "doc_id",
     num_buckets: int = DEFAULT_BUCKETS,
+    text_column: str = "text",
 ) -> str:
     """Write a processed-docs Dataset as a bucketed store."""
 
@@ -61,6 +62,7 @@ def write_doc_store(
         "num_buckets": num_buckets,
         "hash": HASH_VERSION,
         "id_column": id_column,
+        "text_column": text_column,
     }))
     return str(path)
 
@@ -78,6 +80,7 @@ class DocStore:
                  num_buckets: int | None = None):
         self.path = pathlib.Path(path)
         self.id_column = id_column
+        self.text_column = "text"
         meta_path = self.path / _META_FILE
         if meta_path.exists():
             meta = json.loads(meta_path.read_text())
@@ -88,6 +91,7 @@ class DocStore:
                     " — rebuild the store")
             self.num_buckets = int(meta["num_buckets"])
             self.id_column = meta.get("id_column", id_column)
+            self.text_column = meta.get("text_column", "text")
         elif num_buckets is not None:
             self.num_buckets = num_buckets
         else:

@@ -20,6 +20,8 @@ import pyarrow as pa
 
 import ray.data
 
+from ..util import fixed_pool
+
 from ..sources.extract import extract_text
 from ..text import TextConfig, TextProcessor
 
@@ -91,6 +93,6 @@ def process_documents(
         },
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=concurrency,
+        concurrency=fixed_pool(concurrency),
         batch_size=batch_size,
     )

@@ -27,6 +27,8 @@ import pyarrow as pa
 
 import ray.data
 
+from ..util import fixed_pool
+
 from .docstore import DocStore
 
 
@@ -136,5 +138,5 @@ def rerank_results(
         reranker_cls,
         fn_constructor_kwargs=constructor_kwargs,
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=fixed_pool(concurrency),
     )

@@ -225,6 +225,68 @@ def pre_normalize(text: str) -> str:
     return standardize_combining_chars(text)
 
 
+def compare_strings(s1: str, s2: str) -> "collections.Counter[str]":
+    """Single-character change report between a raw and normalized
+    string (reference util/normalize.py:164-180): counts one-char
+    deletions, insertions, and <=2-char -> 1-char replacements.
+    Report-only metric — never feeds the token stream."""
+    import collections
+    import difflib
+
+    changes: collections.Counter[str] = collections.Counter()
+    for tag, i1, i2, j1, j2 in difflib.SequenceMatcher(
+            None, s1, s2).get_opcodes():
+        if tag == "delete" and i2 - i1 == 1:
+            changes[f"del {s1[i1:i2]}"] += 1
+        elif tag == "replace" and i2 - i1 <= 2 and j2 - j1 == 1:
+            changes[f"{s1[i1:i2]} -> {s2[j1:j2]}"] += 1
+        elif tag == "insert" and j2 - j1 == 1:
+            changes[f"ins {s2[j1:j2]}"] += 1
+    return changes
+
+
+def normalization_report(ds, text_column: str = "text"):
+    """Distributed ``normalize_report.txt`` equivalent (reference
+    docs.py:250-270): per-batch change Counters (partial aggregation —
+    only tiny (change, count) rows cross the shuffle), summed by
+    change, sorted by count desc. Rows containing a newline are
+    skipped as in the reference writer. Returns a Dataset with columns
+    (change, count)."""
+    import pyarrow as pa
+
+    schema = pa.schema([("change", pa.string()), ("count", pa.int64())])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import collections
+
+        import pyarrow.compute as pc
+
+        texts = pc.cast(tbl.column(text_column), pa.string())
+        total: collections.Counter[str] = collections.Counter()
+        # only rows normalization would alter pay the difflib cost:
+        # clean-ASCII rows normalize to themselves modulo whitespace
+        # collapse, which compare_strings never reports (ws maps to ws)
+        for s in texts.to_pylist():
+            if s is None:
+                continue
+            out = pre_normalize(s)
+            if out != s:
+                total += compare_strings(s, out)
+        if not total:
+            return schema.empty_table()
+        return pa.table({
+            "change": [c for c in total if "\n" not in c],
+            "count": [n for c, n in total.items() if "\n" not in c],
+        }, schema=schema)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("change").sum("count")
+        .rename_columns({"sum(count)": "count"})
+        .sort("count", descending=True)
+    )
+
+
 # Factory seam kept for parity with NormalizerFactory (normalize.py:183-202).
 _LANGS = {"ara", "eng", "fas", "heb", "ind", "kor", "rus", "spa", "zho"}
 

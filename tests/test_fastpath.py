@@ -204,3 +204,26 @@ def test_shuffle_build_fast_slow_identical(ray_session, tmp_path):
     df = read_docs(tmp_path / "sf", "g00000")
     ds_ = read_docs(tmp_path / "ss", "g00000")
     assert df.equals(ds_)
+
+
+def test_ascii_split_matches_python_split_on_unicode_ws():
+    """Guards the ascii_split_whitespace choice: after
+    _pre_normalize_for_tokens, every Unicode whitespace char has been
+    collapsed to ASCII space (or the row was ASCII all along), so the
+    ASCII kernel must produce exactly Python str.split() tokens."""
+    import pyarrow.compute as pc
+
+    from patapsco_ray.index.fastpath import _pre_normalize_for_tokens
+    from patapsco_ray.text.normalize import pre_normalize
+
+    NBSP, LSEP, PSEP = chr(0xA0), chr(0x2028), chr(0x2029)
+    NEL, IDEO, THIN = chr(0x85), chr(0x3000), chr(0x2009)
+    rows = [
+        f"a{NBSP}b", f"x{LSEP}y", f"p{PSEP}q", f"n{NEL}m", f"t{IDEO}u",
+        f"thin{THIN}space", f"nbsp{NBSP}{NBSP}run of{NBSP}them",
+        f"{NBSP}leading and trailing{NBSP}", "ctl\x01here", "", "solo",
+    ]
+    norm = _pre_normalize_for_tokens(pa.array(rows, pa.string()))
+    got = pc.ascii_split_whitespace(norm).to_pylist()
+    for r, toks in zip(rows, got):
+        assert [t for t in toks if t != ""] == pre_normalize(r).split(), r

@@ -74,3 +74,31 @@ def test_full_chain():
         " we" + MOJI_LATIN1 + "ve"
     )
     assert out == "A B" + chr(0xC7) + " we" + RSQUO + "ve"
+
+
+def test_compare_strings_matches_reference_semantics():
+    from patapsco_ray.text.normalize import compare_strings
+
+    # one-char delete
+    assert compare_strings("ab\x01c", "abc") == {"del \x01": 1}
+    # 2->1 replace (mojibake repair shape)
+    got = compare_strings("xæy", "xe y") or compare_strings("caf\xc3\xa9", "caf\xe9")
+    assert isinstance(got, dict)
+    # one-char insert
+    assert compare_strings("ac", "abc") == {"ins b": 1}
+    # multi-char edits are ignored
+    assert compare_strings("abcdef", "xyzuvw") == {}
+
+
+def test_normalization_report(ray_session):
+    import ray.data
+
+    from patapsco_ray.text.normalize import normalization_report
+
+    rows = [{"text": "plain clean ascii"},
+            {"text": "ctl\x01here"},
+            {"text": "also\x01dirty\x01twice"},
+            {"text": None}]
+    rep = normalization_report(ray.data.from_items(rows)).to_pandas()
+    as_dict = dict(zip(rep["change"], rep["count"]))
+    assert as_dict == {"del \x01": 3}
