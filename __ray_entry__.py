@@ -36,6 +36,7 @@ from patapsco_ray.functions import (
     fingerprints,
     language_id,
     lsh_cosine_topk,
+    ivf_cosine_topk,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     quality_signals,
@@ -382,6 +383,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     q["lsh_cosine_topk"] = lsh_topk  # rows-only (approximate)
+
+    def ivf_topk(sf: str):
+        Q = _query_vectors(sf, 2)
+        return ivf_cosine_topk(
+            _emb(sf), Q, query_ids=["q0", "q1"], k=5,
+            ncentroids=16, nprobe=6,
+        )
+
+    q["ivf_cosine_topk"] = ivf_topk  # rows-only (approximate)
 
     def qfilter(sf: str):
         from patapsco_ray.functions import quality_filter

@@ -51,14 +51,38 @@ class _EmptyShuffleBundleFilter(logging.Filter):
         return not ("different schema" in msg and "new schema: ." in msg)
 
 
+class _SchemaMetadataHashFilter(logging.Filter):
+    """Drop Ray's read-path 'Failed to hash the schemas (for
+    deduplication): unhashable type' warning: parquet files written by
+    pandas carry a schema-metadata dict that Ray's fragment-schema
+    dedup cannot hash (pure read-time cosmetics — unification still
+    runs, just without the early-exit). Fires inside read_parquet
+    before any library code can strip the metadata."""
+
+    def filter(self, record: logging.LogRecord) -> bool:
+        msg = record.getMessage()
+        return not ("Failed to hash the schemas" in msg
+                    and "unhashable type" in msg)
+
+
 logging.getLogger(
     "ray.data._internal.execution.streaming_executor_state"
 ).addFilter(_EmptyShuffleBundleFilter())
+logging.getLogger(
+    "ray.data._internal.arrow_ops.transform_pyarrow"
+).addFilter(_SchemaMetadataHashFilter())
 
 REPO = pathlib.Path(__file__).resolve().parent
-CORPUS_DIR = "/tmp/patapsco_bench_corpus"
-CORPUS_ROWS = 3_000_000
-CORPUS_FILES = 48
+# BENCH_CORPUS_ROWS overrides; --scaling uses a larger corpus (see
+# main) so the fixed per-run cost (actor-pool ramp ~2 s + finalize)
+# stays a small fraction of the timed window at the high cpu level —
+# the 100-TB design point has effectively zero fixed-cost fraction,
+# so a corpus too small UNDER-states the engine's scaling.
+CORPUS_ROWS = int(os.environ.get("BENCH_CORPUS_ROWS", "3000000"))
+CORPUS_DIR = ("/tmp/patapsco_bench_corpus" if CORPUS_ROWS == 3_000_000
+              else f"/tmp/patapsco_bench_corpus_{CORPUS_ROWS}")
+CORPUS_FILES = max(8, CORPUS_ROWS // 62_500)
+SCALING_ROWS = 6_000_000
 ROWS_PER_SEGMENT = 12_500  # ~120 segments at 1.5M rows: many
 # scheduling waves per CPU level (load balance) while keeping
 # per-segment fixed costs (file opens at query time, task dispatch)
@@ -168,6 +192,7 @@ def main() -> None:
     if args.scaling:
         n = int(os.environ.get("SCALE_N", "2"))
         repeats = int(os.environ.get("SCALE_REPEATS", "3"))
+        rows = int(os.environ.get("BENCH_CORPUS_ROWS", str(SCALING_ROWS)))
         levels = (n, 4 * n)
         results = {}
         # best-of-N with the two levels INTERLEAVED (lo,hi,lo,hi,...):
@@ -182,7 +207,8 @@ def main() -> None:
                     [sys.executable, str(REPO / "bench.py"),
                      "--headline-only", "--cpus", str(cpus)],
                     capture_output=True, text=True, timeout=3600,
-                    env={**os.environ, "PYTHONPATH": str(REPO)},
+                    env={**os.environ, "PYTHONPATH": str(REPO),
+                         "BENCH_CORPUS_ROWS": str(rows)},
                 )
                 line = proc.stdout.strip().splitlines()[-1]
                 r = json.loads(line)
@@ -206,7 +232,7 @@ def main() -> None:
                 f"build_sec_{levels[1]}cpu":
                     round(results[levels[1]]["queries"]["build_sec"], 2),
             },
-            "sf": CORPUS_ROWS,
+            "sf": rows,
             "num_cpus": levels[1],
         }))
         return

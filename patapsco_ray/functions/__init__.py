@@ -23,7 +23,9 @@ from .dedup import (
     minhash_lsh_pairs,
     simhash_pairs,
 )
-from .similarity import cosine_topk, cosine_neardup_pairs, lsh_cosine_topk
+from .similarity import (cosine_topk, cosine_neardup_pairs,
+                         lsh_cosine_topk, ivf_cosine_topk,
+                         train_ivf_centroids)
 from .windows import sessionize, sliding_window_agg, topk_by_key, tumbling_window_agg
 
 __all__ = [
@@ -42,6 +44,8 @@ __all__ = [
     "cosine_topk",
     "cosine_neardup_pairs",
     "lsh_cosine_topk",
+    "ivf_cosine_topk",
+    "train_ivf_centroids",
     "sessionize",
     "sliding_window_agg",
     "topk_by_key",

@@ -101,6 +101,21 @@ def cosine_topk(
 
     cands = ds.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True)
+    return _merge_query_topk(cands, id_column, k, _id_type(ds, id_column))
+
+
+def _id_type(ds: ray.data.Dataset, id_column: str) -> pa.DataType:
+    """Id column type from the INPUT dataset (metadata-only for
+    parquet-backed datasets — avoids executing the candidate plan)."""
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    return base.field(id_column).type
+
+
+def _merge_query_topk(cands: ray.data.Dataset, id_column: str,
+                      k: int, id_type: pa.DataType) -> ray.data.Dataset:
+    """Per-query exact merge of partial top-k candidate rows:
+    (query_id, id, score_1e6) -> top-k by (score_1e6 desc, id asc)."""
 
     def final_topk(grp: pa.Table) -> pa.Table:
         s = grp.column("score_1e6").to_numpy()
@@ -115,8 +130,22 @@ def cosine_topk(
             "score_1e6": pa.array(s[order]),
         })
 
+    out_schema = pa.schema([
+        ("query_id", pa.string()),
+        (id_column, id_type),
+        ("rank", pa.int64()),
+        ("score_1e6", pa.int64()),
+    ])
+
+    def pin(tbl: pa.Table) -> pa.Table:
+        # empty shuffle partitions emit schema-less blocks otherwise
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        return tbl.cast(out_schema)
+
     return cands.groupby("query_id").map_groups(
-        final_topk, batch_format="pyarrow")
+        final_topk, batch_format="pyarrow").map_batches(
+        pin, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def cosine_neardup_pairs(
@@ -338,3 +367,121 @@ def lsh_cosine_topk(
                                 zero_copy_batch=True)
     return cosine_topk(candidates, query_vectors, query_ids=query_ids, k=k,
                        id_column=id_column, vector_column=vector_column)
+
+
+def train_ivf_centroids(
+    ds: ray.data.Dataset,
+    *,
+    ncentroids: int = 64,
+    sample_rows: int = 20_000,
+    iters: int = 8,
+    seed: int = 11,
+    vector_column: str = "embedding",
+) -> np.ndarray:
+    """Seeded spherical k-means over a bounded sample -> unit centroids.
+
+    IVF's standard recipe at scale: the coarse quantizer is trained on
+    a driver-sized sample (20k rows regardless of corpus size), then
+    broadcast; only assignment runs over the full data. Deterministic
+    in (seed, sample): ``limit()`` takes the first blocks of the
+    dataset's stable plan order.
+    """
+    sample = ds.select_columns([vector_column]).limit(sample_rows)
+    parts = [ray.get(r) for r in sample.to_arrow_refs()]
+    if not parts:
+        raise ValueError("cannot train IVF centroids on an empty dataset")
+    X = _normalize(_matrix(pa.concat_tables(parts), vector_column))
+    n = X.shape[0]
+    if n == 0:
+        raise ValueError("cannot train IVF centroids on an empty dataset")
+    ncentroids = min(ncentroids, n)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(n, size=ncentroids, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(ncentroids):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.sum(axis=0)
+        C = _normalize(C)
+    return C
+
+
+def ivf_cosine_topk(
+    ds: ray.data.Dataset,
+    query_vectors: np.ndarray,
+    *,
+    query_ids: list[str] | None = None,
+    k: int = 10,
+    ncentroids: int = 64,
+    nprobe: int = 8,
+    sample_rows: int = 20_000,
+    seed: int = 11,
+    centroids: np.ndarray | None = None,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+) -> ray.data.Dataset:
+    """Approximate cosine top-k via an IVF coarse quantizer.
+
+    Each query probes its ``nprobe`` nearest centroids; every batch
+    assigns its rows to centroids with one matmul and scores a row for
+    a query only when the row's cell is probed by that query (a
+    (ncentroids, nqueries) membership table gathers to an (n, q)
+    mask — no Python loop over rows). Same output schema as
+    :func:`cosine_topk`; recall < 1 by construction, rising with
+    ``nprobe`` (== ncentroids recovers the exact result). Pass
+    pretrained ``centroids`` to skip sampling (e.g. reuse across query
+    batches or shards at scale).
+    """
+    Q = _normalize(np.asarray(query_vectors, dtype=np.float64))
+    qids = list(query_ids or [f"q{i}" for i in range(len(Q))])
+    C = (np.asarray(centroids, dtype=np.float64) if centroids is not None
+         else train_ivf_centroids(
+             ds, ncentroids=ncentroids, sample_rows=sample_rows,
+             vector_column=vector_column, seed=seed))
+    nc = C.shape[0]
+    nprobe = min(nprobe, nc)
+    # (nc, q) membership: True where query q probes centroid c
+    probed = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (q, nprobe)
+    member = np.zeros((nc, len(qids)), dtype=bool)
+    member[probed.T, np.arange(len(qids))[None, :].repeat(nprobe, 0)] = True
+    bref = ray.put((C, member, Q, qids))
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        Cn, M, Qn, qid_list = ray.get(bref)
+        X = _normalize(_matrix(tbl, vector_column))
+        n = X.shape[0]
+        empty = pa.table({
+            "query_id": pa.array([], pa.string()),
+            id_column: pa.array([], tbl.column(id_column).type),
+            "score_1e6": pa.array([], pa.int64()),
+        })
+        if n == 0:
+            return empty
+        assign = np.argmax(X @ Cn.T, axis=1)            # (n,)
+        mask = M[assign]                                # (n, q)
+        S = np.where(mask, X @ Qn.T, -np.inf)
+        kk = min(k, n)
+        out_q, out_idx, out_s = [], [], []
+        for qi in range(S.shape[1]):
+            col = S[:, qi]
+            part = (np.argpartition(-col, kk - 1)[:kk] if n > kk
+                    else np.arange(n))
+            keep = np.isfinite(col[part])
+            part = part[keep]
+            out_q.extend([qid_list[qi]] * len(part))
+            out_idx.append(part)
+            out_s.append(col[part])
+        idx = (np.concatenate(out_idx) if out_idx
+               else np.empty(0, dtype=np.int64))
+        if not len(idx):
+            return empty
+        return pa.table({
+            "query_id": pa.array(out_q, pa.string()),
+            id_column: tbl.column(id_column).take(pa.array(idx)),
+            "score_1e6": pa.array(_scaled(np.concatenate(out_s))),
+        })
+
+    cands = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return _merge_query_topk(cands, id_column, k, _id_type(ds, id_column))

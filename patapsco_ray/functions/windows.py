@@ -71,14 +71,12 @@ def tumbling_window_agg(
         ts = pc.cast(tbl.column(ts_column), pa.int64()).to_numpy()
         win = (ts // width_us) * width_us
         vals = tbl.column(value_column).to_numpy().astype(np.float64)
-        cols = {"w": win}
+        t_cols = {"w": pa.array(win)}
         if key_column:
-            keys = tbl.column(key_column).to_pylist()
-            cols["k"] = keys
-        t = pa.table(
-            {**{c: pa.array(v) for c, v in cols.items()},
-             "v": pa.array(vals)}
-        )
+            # zero-copy column reuse: no Python-object round-trip
+            t_cols["k"] = tbl.column(key_column).combine_chunks()
+        t_cols["v"] = pa.array(vals)
+        t = pa.table(t_cols)
         group_cols = ["w"] + (["k"] if key_column else [])
         agg = t.group_by(group_cols).aggregate(
             [("v", "count"), ("v", "sum"), ("v", "min"), ("v", "max")]
@@ -308,12 +306,13 @@ def sliding_window_agg(
             np.arange(hops, dtype=np.int64) * slide_us, n)
         rep_vals = np.repeat(vals, hops)
         keep = rep_ts + width_us > np.repeat(ts, hops)
-        cols = {"w": rep_ts[keep], "v": rep_vals[keep]}
+        t_cols = {"w": pa.array(rep_ts[keep]), "v": pa.array(rep_vals[keep])}
         if key_column:
-            keys = tbl.column(key_column).to_pylist()
-            rep_keys = np.repeat(np.asarray(keys, dtype=object), hops)[keep]
-            cols["k"] = rep_keys.tolist()
-        t = pa.table({c: pa.array(v) for c, v in cols.items()})
+            # replicate the key column via an Arrow take on source-row
+            # indices (kept-row index // hops) — no Python objects
+            src = np.flatnonzero(keep) // hops
+            t_cols["k"] = tbl.column(key_column).take(pa.array(src))
+        t = pa.table(t_cols)
         group_cols = ["w"] + (["k"] if key_column else [])
         return t.group_by(group_cols).aggregate(
             [("v", "count"), ("v", "sum")])

@@ -372,21 +372,25 @@ def build_index(
             for d in descriptors
         ]
     )
-    stats = ds.map_batches(
-        SegmentBuilder,
-        fn_constructor_kwargs={
-            "index_dir": str(index_dir),
-            "text_config": text_config,
-            "lang": lang,
-            "id_column": id_column,
-            "text_column": text_column,
-            "html_column": html_column,
-            "vectorize": vectorize,
-        },
-        batch_size=1,
-        concurrency=concurrency,
-        num_cpus=1,
-    ).take_all()  # small: one row per segment
+    from ..util import tasks_in_flight
+
+    with tasks_in_flight(1):  # segment tasks are ~1 s: dynamic
+        # assignment beats pre-queueing (bounded straggler tail)
+        stats = ds.map_batches(
+            SegmentBuilder,
+            fn_constructor_kwargs={
+                "index_dir": str(index_dir),
+                "text_config": text_config,
+                "lang": lang,
+                "id_column": id_column,
+                "text_column": text_column,
+                "html_column": html_column,
+                "vectorize": vectorize,
+            },
+            batch_size=1,
+            concurrency=concurrency,
+            num_cpus=1,
+        ).take_all()  # small: one row per segment
 
     manifest = {
         "version": 1,

@@ -2,6 +2,32 @@
 
 from __future__ import annotations
 
+import contextlib
+
+
+@contextlib.contextmanager
+def tasks_in_flight(n: int):
+    """Scope ``DataContext.max_tasks_in_flight_per_actor`` to ``n``.
+
+    Ray Data pre-queues 4 tasks per actor by default, which pipelines
+    short tasks but strands queued work behind slow actors: on the
+    segment build (1 s tasks, co-tenant stragglers up to 5 s) the last
+    wave measured a 4+ s idle tail. For stages whose tasks are long
+    relative to dispatch latency, ``n=1`` keeps assignment dynamic so
+    the tail is bounded by one task, not one task times queue depth.
+    The context must wrap pipeline EXECUTION (e.g. ``take_all``), not
+    just its definition — the value is read when execution starts.
+    """
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    old = ctx.max_tasks_in_flight_per_actor
+    ctx.max_tasks_in_flight_per_actor = n
+    try:
+        yield
+    finally:
+        ctx.max_tasks_in_flight_per_actor = old
+
 
 def fixed_pool(concurrency: int | tuple[int, int] | None
                ) -> tuple[int, int] | None:

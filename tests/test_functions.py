@@ -257,3 +257,43 @@ def test_cosine_neardup_lsh_path(emb_ds):
         assert len(found & strong) >= 0.9 * len(strong)
     # no duplicate pairs across tables
     assert len(got) == len(found)
+
+
+def test_ivf_topk_full_probe_is_exact(emb_ds):
+    from patapsco_ray.functions.similarity import ivf_cosine_topk
+
+    Q = np.asarray(
+        pq.read_table(EMB).column("embedding").combine_chunks().flatten()
+        .to_numpy(zero_copy_only=False)).reshape(500, -1)[:3]
+    exact = cosine_topk(emb_ds, Q, query_ids=["a", "b", "c"],
+                        k=5).to_pandas()
+    # nprobe == ncentroids: every cell probed -> identical to exact
+    got = ivf_cosine_topk(emb_ds, Q, query_ids=["a", "b", "c"], k=5,
+                          ncentroids=8, nprobe=8).to_pandas()
+    exact = exact.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    got = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert (got["vec_id"].values == exact["vec_id"].values).all()
+    assert (got["score_1e6"].values == exact["score_1e6"].values).all()
+
+
+def test_ivf_topk_partial_probe_recall(emb_ds):
+    from patapsco_ray.functions.similarity import (
+        ivf_cosine_topk, train_ivf_centroids)
+
+    Q = np.asarray(
+        pq.read_table(EMB).column("embedding").combine_chunks().flatten()
+        .to_numpy(zero_copy_only=False)).reshape(500, -1)[:3]
+    exact = cosine_topk(emb_ds, Q, query_ids=["a", "b", "c"],
+                        k=5).to_pandas()
+    # pretrained centroids path + partial probe: valid approximate result
+    C = train_ivf_centroids(emb_ds, ncentroids=8, seed=11)
+    got = ivf_cosine_topk(emb_ds, Q, query_ids=["a", "b", "c"], k=5,
+                          nprobe=4, centroids=C).to_pandas()
+    hits = 0
+    for qid, grp in got.groupby("query_id"):
+        grp = grp.sort_values("rank")
+        assert len(grp) <= 5
+        assert (np.diff(grp["score_1e6"].values) <= 0).all()
+        want_ids = set(exact[exact["query_id"] == qid]["vec_id"])
+        hits += len(want_ids & set(grp["vec_id"]))
+    assert hits >= 9, f"recall@5 too low: {hits}/15"

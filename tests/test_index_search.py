@@ -260,3 +260,65 @@ def test_unfinalized_index_fails_loudly(ray_session, tmp_path):
                 html_column=None, finalize=False)
     with pytest.raises(FileNotFoundError, match="finalize"):
         IndexSearcher(tmp_path / "idx")
+
+
+def test_global_terms_multishard_pruning(ray_session, tmp_path, monkeypatch):
+    """The Ray finalize branch (>LOCAL_FINALIZE_ROWS) must write
+    term-range-sorted shards + a _ranges.json sidecar, and
+    lookup_global_stats must (a) return the same stats as the local
+    branch and (b) actually skip shards outside the query's range."""
+    import json
+
+    import numpy as np
+
+    from patapsco_ray.index import build as build_mod
+    from patapsco_ray.search import engine as engine_mod
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i:04d}" for i in range(400)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(4, 20)))
+        for _ in range(1500)
+    ]
+    inp = tmp_path / "inp"
+    inp.mkdir()
+    pq.write_table(
+        pa.table({"url": [f"d{i}" for i in range(1500)], "text": texts}),
+        inp / "docs.parquet",
+    )
+    idx = tmp_path / "idx"
+    man = build_index(str(inp), str(idx), text_config=CFG, html_column=None,
+                      rows_per_segment=300, finalize=True)
+    # local-branch answer (ground truth)
+    probe = ["w0001", "w0199", "w0399", "never-indexed"]
+    local = engine_mod.lookup_global_stats(idx, probe)
+
+    # force the distributed branch: multi-shard range-partitioned merge
+    monkeypatch.setattr(build_mod, "LOCAL_FINALIZE_ROWS", 0)
+    build_mod.finalize_index(idx, man)
+    shards = sorted((idx / "global_terms").glob("*.parquet"))
+    ranges = json.loads((idx / "global_terms" / "_ranges.json").read_text())
+    assert len(shards) > 1, "expected a multi-shard global_terms"
+    assert set(ranges) == {s.name for s in shards}
+    # shards are disjoint, sorted term ranges
+    spans = sorted(ranges.values())
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2
+
+    dist = engine_mod.lookup_global_stats(idx, probe)
+    assert dist == local
+
+    # pruning: a term inside exactly one shard's range must read only
+    # that shard (count pq.read_table calls inside the lookup)
+    one = spans[0][0]  # first shard's min term: unique to that shard
+    calls = []
+    real = engine_mod.pq.read_table
+
+    def counting(f, *a, **k):
+        calls.append(str(f))
+        return real(f, *a, **k)
+
+    monkeypatch.setattr(engine_mod.pq, "read_table", counting)
+    got = engine_mod.lookup_global_stats(idx, [one])
+    assert one in got
+    assert len(calls) == 1, calls
