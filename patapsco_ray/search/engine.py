@@ -15,10 +15,12 @@ then per-segment top-k heaps merge on (score desc, global ordinal asc)
 Dataset pipeline: segments -> map_batches(actor pool holding norms +
 term dictionaries) -> groupby(query_id) -> final top-k.
 
-Optional block-max pruning (``prune=True``): terms are processed in
-descending max-score order; once k candidates are collected, blocks
-whose summed remaining upper bound cannot beat the current threshold
-are skipped (block-max WAND flavor, term-at-a-time).
+Optional block-max pruning (``prune=True``): exact block-max WAND over
+the elementary intervals of the query terms' posting-block boundaries
+(``SegmentScorer._score_block_max``) — intervals are visited in
+descending summed-upper-bound order and scoring stops once no remaining
+interval can reach the running k-th score. Identical results to dense
+scoring (tested), strictly less decoding for selective queries.
 """
 
 from __future__ import annotations
@@ -170,75 +172,175 @@ class SegmentScorer:
             rows = tbl.to_pylist()
         if not rows:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        rows.sort(key=lambda r: global_stats[r["term"]][0])
+        if prune and self.quantize_norms and k < self.ndocs:
+            # exact block-max pruning (single- AND multi-term; see
+            # _score_block_max) — only sound on the quantized-norm path
+            # because block metadata bounds quantized scores
+            return self._score_block_max(rows, qterms, scorer,
+                                         global_stats, k)
         scores = np.zeros(self.ndocs, dtype=np.float64)
         matched = np.zeros(self.ndocs, dtype=bool)
-        # rare (low-df) terms first: their postings are cheap and their
-        # per-posting impact is highest, which tightens a future pruned
-        # threshold quickly
-        rows.sort(key=lambda r: global_stats[r["term"]][0])
-        nterms = len(rows)
-        if prune and nterms == 1 and k < self.ndocs:
-            # single-term queries: block-max skipping is exact — only
-            # blocks whose upper bound reaches the running k-th score
-            # can contribute to the top-k
-            row = rows[0]
+        for row in rows:
             term = row["term"]
             qtf = qterms[term]
             df, cf = global_stats[term]
             stat = df if hasattr(scorer, "idf") else cf
-            ubs = np.array([
-                scorer.max_block_score(int(mt), int(mn), stat, qtf)
-                for mt, mn in zip(row["block_max_tf"], row["block_min_norm"])
-            ])
-            order = np.argsort(-ubs)
-            kept: list[int] = []
-            heap: list[float] = []
-            import heapq as _hq
-            for bi in order:
-                if len(heap) >= k and ubs[bi] < heap[0]:
-                    break  # no remaining block can beat the k-th score
-                o, t = decode_postings(
-                    row["postings"], row["block_offsets"], row["block_counts"],
-                    [int(bi)],
-                )
-                contrib = scorer.score_postings(t, self.norms[o], stat, qtf)
-                scores[o] = contrib
-                matched[o] = True
-                for s in contrib:
-                    if len(heap) < k:
-                        _hq.heappush(heap, float(s))
-                    elif s > heap[0]:
-                        _hq.heapreplace(heap, float(s))
-        else:
-            for row in rows:
-                term = row["term"]
-                qtf = qterms[term]
-                df, cf = global_stats[term]
-                stat = df if hasattr(scorer, "idf") else cf
-                ords, tfs = decode_postings(
-                    row["postings"], row["block_offsets"], row["block_counts"]
-                )
-                if self.quantize_norms:
-                    contrib = scorer.score_postings(
-                        tfs, self.norms[ords], stat, qtf)
-                else:
-                    contrib = scorer.score_postings_dl(
-                        tfs, self.lens[ords], stat, qtf)
-                scores[ords] += contrib
-                matched[ords] = True
+            ords, tfs = decode_postings(
+                row["postings"], row["block_offsets"], row["block_counts"]
+            )
+            if self.quantize_norms:
+                contrib = scorer.score_postings(
+                    tfs, self.norms[ords], stat, qtf)
+            else:
+                contrib = scorer.score_postings_dl(
+                    tfs, self.lens[ords], stat, qtf)
+            scores[ords] += contrib
+            matched[ords] = True
         return self._topk(scores, matched, k)
+
+    def _score_block_max(
+        self,
+        rows: list[dict],
+        qterms: dict[str, int],
+        scorer,
+        global_stats: dict[str, tuple[int, int]],
+        k: int,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Exact top-k via block-max WAND at interval granularity.
+
+        The north-star query path (BASELINE.json: "block-max WAND
+        top-k"): every query term's posting blocks carry
+        (block_last, block_max_tf, block_min_norm) metadata
+        (index/codec.py), and blocks decode independently (each
+        block's first varint is an absolute ordinal). The ordinal
+        space is cut at every term's block boundaries into elementary
+        intervals; an interval's upper bound is the sum of the
+        covering blocks' max scores (vectorized,
+        scorer.max_block_scores, same fp ops as the real scores so
+        bounds are sound in floating point). Intervals are processed
+        in descending upper-bound order, decoding each needed block
+        exactly once; once k candidates exist and the next interval's
+        bound is strictly below the running k-th score, no remaining
+        document can reach the top-k (docs finalize with complete
+        scores because an elementary interval lies inside at most one
+        block per term, all of which are decoded before the interval
+        is read). Degenerates to per-block skipping for single-term
+        queries; decodes everything (== dense scoring) when bounds
+        never separate, so it is never worse than one extra sort of
+        ~#blocks entries. Reference semantics: Lucene's
+        BlockMaxWAND-era scoring (conceptually; the reference indexes
+        DOCS_AND_FREQS and scores via Lucene, index.py:51-52)."""
+        import heapq as _hq
+
+        infos = []
+        for row in rows:
+            term = row["term"]
+            qtf = qterms[term]
+            df, cf = global_stats[term]
+            stat = df if hasattr(scorer, "idf") else cf
+            last = np.asarray(row["block_last"], dtype=np.int64)
+            lo = np.empty_like(last)
+            lo[0] = 0
+            lo[1:] = last[:-1] + 1
+            ub = scorer.max_block_scores(
+                np.asarray(row["block_max_tf"], dtype=np.int64),
+                np.asarray(row["block_min_norm"], dtype=np.int64),
+                stat, qtf)
+            infos.append({"row": row, "stat": stat, "qtf": qtf,
+                          "lo": lo, "last": last, "ub": ub})
+
+        # elementary intervals: [pts[j], pts[j+1]) for every j
+        pts = np.unique(np.concatenate(
+            [i["lo"] for i in infos] + [i["last"] + 1 for i in infos]))
+        niv = len(pts) - 1
+        ub_sum = np.zeros(niv, dtype=np.float64)
+        for i in infos:
+            # the block whose range contains each interval (or -1):
+            # interval starts never split a block, so start-in-block
+            # implies the whole interval is in the block
+            nblocks = len(i["last"])
+            bi = np.searchsorted(i["last"], pts[:-1])
+            bi_c = np.minimum(bi, nblocks - 1)
+            valid = (bi < nblocks) & (pts[:-1] >= i["lo"][bi_c])
+            i["iv_block"] = np.where(valid, bi_c, -1)
+            ub_sum[valid] += i["ub"][bi_c[valid]]
+
+        order = np.argsort(-ub_sum, kind="stable")
+        heap: list[float] = []
+        cand_ords: list[np.ndarray] = []
+        cand_scores: list[np.ndarray] = []
+        # decoded+scored blocks, keyed (term_index, block): scoring is
+        # elementwise so per-block results are bit-identical to the
+        # dense full-postings computation
+        cache: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+        for iv in order:
+            if len(heap) >= k and ub_sum[iv] < heap[0]:
+                break  # doc score <= interval ub < running k-th score
+            lo_iv, hi_iv = int(pts[iv]), int(pts[iv + 1])
+            slices: list[tuple[np.ndarray, np.ndarray]] = []
+            for ti, i in enumerate(infos):
+                b = int(i["iv_block"][iv])
+                if b < 0:
+                    continue
+                dec = cache.get((ti, b))
+                if dec is None:
+                    row = i["row"]
+                    o, t = decode_postings(
+                        row["postings"], row["block_offsets"],
+                        row["block_counts"], [b])
+                    c = scorer.score_postings(
+                        t, self.norms[o], i["stat"], i["qtf"])
+                    dec = cache[(ti, b)] = (o, c)
+                o, c = dec
+                s = int(np.searchsorted(o, lo_iv))
+                e = int(np.searchsorted(o, hi_iv))
+                if s < e:
+                    slices.append((o[s:e], c[s:e]))
+            if not slices:
+                continue
+            # accumulate in FIXED term order (infos is df-sorted, same
+            # as the dense loop) so each doc's additions happen in the
+            # same sequence as dense scoring — bitwise-identical sums
+            u_ords = np.unique(np.concatenate([o for o, _ in slices]))
+            u_scores = np.zeros(len(u_ords), dtype=np.float64)
+            for o, c in slices:
+                u_scores[np.searchsorted(u_ords, o)] += c
+            cand_ords.append(u_ords)
+            cand_scores.append(u_scores)
+            for s_ in u_scores:
+                if len(heap) < k:
+                    _hq.heappush(heap, float(s_))
+                elif s_ > heap[0]:
+                    _hq.heapreplace(heap, float(s_))
+        if not cand_ords:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        return self._select_topk(np.concatenate(cand_ords),
+                                 np.concatenate(cand_scores), k)
+
+    @staticmethod
+    def _select_topk(cand: np.ndarray, cscores: np.ndarray, k: int
+                     ) -> tuple[np.ndarray, np.ndarray]:
+        """Exact top-k with deterministic (score desc, ordinal asc)
+        tie-break: partition to find the k-th score, keep EVERY
+        candidate tied with it, then lexsort and truncate — so ties at
+        the boundary always resolve to the lowest ordinals, regardless
+        of candidate arrival order (argpartition alone picks arbitrary
+        members among equal scores)."""
+        if cand.size > k:
+            part = np.argpartition(-cscores, k - 1)
+            kth = cscores[part[k - 1]]
+            keep = cscores >= kth
+            cand, cscores = cand[keep], cscores[keep]
+        order = np.lexsort((cand, -cscores))[:k]
+        return cand[order].astype(np.int64), cscores[order]
 
     def _topk(self, scores: np.ndarray, matched: np.ndarray, k: int
               ) -> tuple[np.ndarray, np.ndarray]:
         cand = np.flatnonzero(matched)
         if cand.size == 0:
             return cand.astype(np.int64), np.empty(0, dtype=np.float64)
-        cscores = scores[cand]
-        if cand.size > k:
-            part = np.argpartition(-cscores, k - 1)[:k]
-            cand, cscores = cand[part], cscores[part]
-        order = np.lexsort((cand, -cscores))
-        return cand[order].astype(np.int64), cscores[order]
+        return self._select_topk(cand, scores[cand], k)
 
     def score_psq(
         self,
@@ -304,6 +406,7 @@ class IndexSearcher:
         mu: float = 1000.0,
         text_config: TextConfig | None = None,
         quantize_norms: bool = True,
+        prune: bool = False,
     ):
         self.index_dir = str(index_dir)
         self.manifest = read_manifest(index_dir)
@@ -327,6 +430,10 @@ class IndexSearcher:
         self.scorer_name = scorer
         self.scorer = make_scorer(scorer, self.stats, k1=k1, b=b, mu=mu)
         self.quantize_norms = quantize_norms
+        # block-max WAND pruning (exact — bitwise-identical results,
+        # tested): opt-in because dense vectorized decode is faster on
+        # broad/head-term queries; enable for small-k selective loads
+        self.prune = prune
         self._segments: dict[str, SegmentScorer] = {}
 
     def _segment(self, seg: dict) -> SegmentScorer:
@@ -360,7 +467,8 @@ class IndexSearcher:
         if gstats is None:
             gstats = lookup_global_stats(self.index_dir, list(weights))
         return self._merge_segments(
-            lambda ss: ss.score(weights, self.scorer, gstats, k), k
+            lambda ss: ss.score(weights, self.scorer, gstats, k,
+                                prune=self.prune), k
         )
 
     def search_psq(self, query: "str | list[list[tuple[str, float]]]",
@@ -456,6 +564,7 @@ class IndexSearcher:
                 if not counts:
                     continue
                 ords, scores = ss.score(counts, self.scorer, gstats, k,
+                                        prune=self.prune,
                                         preloaded_rows=rows)
                 if ords.size == 0:
                     continue

@@ -87,6 +87,18 @@ class BM25Scorer:
         denom = max_tf + self.norm_cache[min_norm_byte]
         return qtf * self.idf(df) * (max_tf / denom)
 
+    def max_block_scores(self, max_tfs: np.ndarray, min_norm_bytes: np.ndarray,
+                         df: int, qtf: int = 1) -> np.ndarray:
+        """Vectorized per-block upper bounds. Uses the SAME numpy ops as
+        :meth:`score_postings` so the bound holds in floating point: for
+        the (max_tf, min_norm) posting the two computations are
+        bit-identical, and tf/(tf+c) is monotone through correctly
+        rounded +, /, * — a true score can never exceed its block's
+        bound by rounding alone."""
+        tf = max_tfs.astype(np.float64)
+        denom = tf + self.norm_cache[min_norm_bytes]
+        return (qtf * self.idf(df)) * (tf / denom)
+
 
 class QLDScorer:
     def __init__(self, stats: CorpusStats, mu: float = 1000.0):
@@ -115,6 +127,17 @@ class QLDScorer:
         p_w = cf / self.stats.total_tf
         s = math.log1p(max_tf / (self.mu * p_w)) + self.doclen_cache[min_norm_byte]
         return qtf * max(s, 0.0)
+
+    def max_block_scores(self, max_tfs: np.ndarray, min_norm_bytes: np.ndarray,
+                         cf: int, qtf: int = 1) -> np.ndarray:
+        """Vectorized per-block upper bounds via the same ``np.log1p``
+        as :meth:`score_postings` (NOT ``math.log1p``: the two can
+        differ in the last ulp, which would make the bound unsound for
+        the block's own (max_tf, min_norm) posting)."""
+        p_w = cf / self.stats.total_tf
+        s = np.log1p(max_tfs.astype(np.float64) / (self.mu * p_w))
+        s += self.doclen_cache[min_norm_bytes]
+        return qtf * np.maximum(s, 0.0)
 
 
 def make_scorer(name: str, stats: CorpusStats, *, k1=0.9, b=0.4, mu=1000.0):

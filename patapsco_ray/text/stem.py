@@ -258,6 +258,57 @@ class PorterStemmer:
         return [self.stem_word(t) for t in tokens]
 
 
+class FarsiStemmer:
+    """Farsi stemmer (reference text.py:55-66: parsivar FindStems).
+
+    Uses parsivar when importable. Otherwise a deterministic
+    rule-based fallback: longest-match stripping of the common Persian
+    inflectional suffixes (plural ها/ات/ان/ین, comparatives تر/ترین,
+    possessive/copular clitics, indefinite ی) with ZWNJ (U+200C)
+    handling, never shortening a stem below two letters. This is an
+    approximation of parsivar's lexicon-based stemmer — documented as
+    such, not claimed identical — mirroring how the Moses/Jieba
+    offline fallbacks are seamed (tokenize.py:62-108).
+    """
+
+    # longest first; entries may start with ZWNJ so 'کتاب‌ها' strips
+    # cleanly. Clitic/suffix inventory follows the standard Persian
+    # morphology descriptions used by open-source stemmers.
+    _SUFFIXES = [
+        "‌ترین", "‌هایی", "‌های", "‌ها",
+        "ترین", "هایی", "های", "ها",
+        "‌تر", "تر",
+        "ات", "ان", "ین",
+        "مان", "تان", "شان",
+        "ام", "اش", "‌ام", "‌اش",
+        "ی",
+    ]
+
+    def __init__(self, lang: str = "fas"):
+        if lang != "fas":
+            raise ValueError(
+                "parsivar stemmer only supports Farsi (reference "
+                "text.py:58-60)")
+        self.lang = lang
+        try:
+            import parsivar  # pragma: no cover
+
+            self._ps = parsivar.FindStems()
+        except ImportError:
+            self._ps = None
+
+    def stem_word(self, token: str) -> str:
+        if self._ps is not None:  # pragma: no cover
+            return self._ps.convert_to_stem(token)
+        for suf in self._SUFFIXES:
+            if token.endswith(suf) and len(token) - len(suf) >= 2:
+                return token[: len(token) - len(suf)]
+        return token
+
+    def stem(self, tokens: list[str]) -> list[str]:
+        return [self.stem_word(t) for t in tokens]
+
+
 class CachedStemmer:
     """Wraps a stemmer with a bounded memo cache.
 
@@ -296,7 +347,9 @@ def create_stemmer(name, lang: str):
         return None
     if name == "porter":
         return CachedStemmer(PorterStemmer(lang))
+    if name == "parsivar":
+        return CachedStemmer(FarsiStemmer(lang))
     raise NotImplementedError(
         f"stemmer '{name}' requires an NLP model dependency not available "
-        "in this environment (reference text.py:55-66,163-386 seam)"
+        "in this environment (reference text.py:163-386 seam)"
     )

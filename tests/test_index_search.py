@@ -186,11 +186,28 @@ def test_prune_matches_exhaustive(ray_session, tmp_path):
     seg = s.manifest["segments"][0]
     ss = s._segment(seg)
     from patapsco_ray.search.engine import lookup_global_stats
-    g = lookup_global_stats(s.index_dir, ["t0"])
-    o1, sc1 = ss.score({"t0": 1}, s.scorer, g, k=10, prune=False)
-    o2, sc2 = ss.score({"t0": 1}, s.scorer, g, k=10, prune=True)
-    assert np.array_equal(o1, o2)
-    assert np.allclose(sc1, sc2)
+    from patapsco_ray.search.scorer import QLDScorer
+
+    # single- and multi-term queries, both scorers, several k: the
+    # block-max WAND path must be EXACTLY the dense result (ordinals
+    # and bitwise scores — same fp ops by construction)
+    queries = [
+        {"t0": 1},                          # head term
+        {"t0": 1, "t7": 1, "t33": 2},       # mixed df, qtf>1
+        {"t3": 1, "t44": 1},
+        {f"t{i}": 1 for i in range(10)},    # broad disjunction
+        {"t49": 1, "zzz-absent": 1},        # partial vocabulary
+    ]
+    terms = sorted({t for q in queries for t in q})
+    g = lookup_global_stats(s.index_dir, terms)
+    qld = QLDScorer(s.scorer.stats)
+    for scorer in (s.scorer, qld):
+        for q in queries:
+            for k in (1, 10, 100):
+                o1, sc1 = ss.score(q, scorer, g, k=k, prune=False)
+                o2, sc2 = ss.score(q, scorer, g, k=k, prune=True)
+                assert np.array_equal(o1, o2), (q, k)
+                assert np.array_equal(sc1, sc2), (q, k)
 
 
 def test_explain_sums_to_score(corpus_index):

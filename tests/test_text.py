@@ -77,6 +77,24 @@ def test_porter_rejects_other_languages():
         PorterStemmer("fra")
 
 
+def test_farsi_stemmer_fallback():
+    from patapsco_ray.text.stem import FarsiStemmer, create_stemmer
+
+    s = FarsiStemmer("fas")
+    # plural ها with and without ZWNJ strips to the noun stem
+    assert s.stem_word("کتاب‌ها") == "کتاب"
+    assert s.stem_word("کتابها") == "کتاب"
+    assert s.stem_word("بهترین") == "به"
+    # short tokens never shrink below two letters
+    assert s.stem_word("ها") == "ها"
+    # only Farsi is accepted (reference text.py:58-60)
+    with pytest.raises(ValueError):
+        FarsiStemmer("eng")
+    # registry wires the cached variant
+    st = create_stemmer("parsivar", "fas")
+    assert st.stem(["کتاب‌ها", "ها"]) == ["کتاب", "ها"]
+
+
 def test_whitespace_tokenizer():
     assert WhiteSpaceTokenizer("eng").tokenize("a  b\tc") == ["a", "b", "c"]
 
