@@ -30,10 +30,12 @@ import pyarrow.parquet as pq
 import ray.data
 
 from patapsco_ray.functions import (
+    connected_components,
     cosine_neardup_pairs,
     cosine_topk,
     exact_duplicates,
     fingerprints,
+    near_dedup,
     language_id,
     lsh_cosine_topk,
     ivf_cosine_topk,
@@ -190,12 +192,20 @@ def _search(sf_dir: str, scorer: str, quantize: bool = False) -> pa.Table:
     return _rank_rounded(tbl, TOP_K)
 
 
+def _read_clean(path: str) -> ray.data.Dataset:
+    """read_parquet with the file's pandas metadata stripped: Ray's
+    block-schema dedup can't hash dict-valued schema metadata and logs
+    'Failed to hash the schemas' warnings per read task otherwise."""
+    schema = pq.read_schema(path).remove_metadata()
+    return ray.data.read_parquet(path, schema=schema)
+
+
 def _docs(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return _read_clean(f"{sf_dir}/documents.parquet")
 
 
 def _emb(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return _read_clean(f"{sf_dir}/embeddings.parquet")
 
 
 def _query_vectors(sf_dir: str, n: int) -> np.ndarray:
@@ -357,6 +367,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["minhash_lsh_pairs"] = lambda sf: minhash_lsh_pairs(
         _docs(sf), threshold=0.5
     )  # rows-only (probabilistic)
+    # cluster-level dedup: transitive closure of the jaccard pairs
+    # (driver union-find at this edge count; alternating-star Ray
+    # rounds above 5M edges — tests/test_cluster.py covers both)
+    q["dedup_clusters"] = lambda sf: connected_components(
+        ngram_jaccard_pairs(_docs(sf), threshold=0.2))
+    q["dedup_keep"] = lambda sf: near_dedup(
+        _docs(sf), method="jaccard", threshold=0.2
+    ).select_columns(["doc_id"])
+    q["exact_dedup_keep"] = lambda sf: near_dedup(
+        _docs(sf), method="exact").select_columns(["doc_id"])
     q["simhash_pairs"] = lambda sf: simhash_pairs(
         _docs(sf), max_hamming=3
     )  # rows-only
@@ -420,7 +440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # --- event-stream operators (windowed/sessionized aggregates) ---
     def _events(sf: str):
-        return ray.data.read_parquet(f"{sf}/events.parquet")
+        return _read_clean(f"{sf}/events.parquet")
 
     q["window_agg"] = lambda sf: tumbling_window_agg(_events(sf),
                                                      window="1h")
@@ -649,7 +669,52 @@ def oracle_sql() -> dict[str, str]:
     sw_list = ", ".join(
         f"'{w}'" for w in sorted(load_stopwords("lucene", "eng"))
     )
+    # shared CTE chain: jaccard>=0.2 pairs (same plan as the
+    # ngram_jaccard_pairs oracle) -> undirected edges -> transitive
+    # closure (recursive CTE) -> component root = min reachable id
+    jaccard_comp_ctes = """
+            toks AS (
+              SELECT doc_id,
+                list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+              FROM documents),
+            shl AS (
+              SELECT doc_id, CASE WHEN len(t) < 3
+                THEN [array_to_string(t, ' ')]
+                ELSE list_transform(range(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS shs
+              FROM toks WHERE len(t) > 0),
+            sh AS (SELECT DISTINCT doc_id, unnest(shs) AS sh FROM shl),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            p0 AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            jp AS (
+              SELECT id_a, id_b FROM p0
+              JOIN sizes na ON p0.id_a = na.doc_id
+              JOIN sizes nb ON p0.id_b = nb.doc_id
+              WHERE n_common * 1.0 / (na.n + nb.n - n_common) >= 0.2),
+            edges AS (SELECT id_a AS u, id_b AS v FROM jp
+                      UNION SELECT id_b, id_a FROM jp),
+            reach AS (
+              SELECT u AS id, v AS r FROM edges
+              UNION
+              SELECT reach.id, e.v FROM reach JOIN edges e
+                ON reach.r = e.u),
+            comp AS (SELECT id, LEAST(id, MIN(r)) AS root
+                     FROM reach GROUP BY id)"""
     return {
+        "dedup_clusters": f"""
+            WITH RECURSIVE {jaccard_comp_ctes}
+            SELECT id, root FROM comp""",
+        "dedup_keep": f"""
+            WITH RECURSIVE {jaccard_comp_ctes}
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> root)""",
+        "exact_dedup_keep": """
+            SELECT doc_id FROM (
+              SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS k
+              FROM documents) WHERE doc_id = k""",
         "bm25_topk": _RETRIEVAL_BASE.format(
             values=_queries_values(), term_score=_BM25_TERM
         ),

@@ -19,10 +19,12 @@ from .textstats import token_counts, quality_signals, quality_filter, language_i
 from .urls import canonicalize_url, canonicalize_urls, url_duplicates
 from .dedup import (
     exact_duplicates,
+    exact_duplicate_pairs,
     ngram_jaccard_pairs,
     minhash_lsh_pairs,
     simhash_pairs,
 )
+from .cluster import connected_components, dedup_keep, near_dedup
 from .similarity import (cosine_topk, cosine_neardup_pairs,
                          lsh_cosine_topk, ivf_cosine_topk,
                          train_ivf_centroids)
@@ -38,6 +40,10 @@ __all__ = [
     "language_id",
     "fingerprints",
     "exact_duplicates",
+    "exact_duplicate_pairs",
+    "connected_components",
+    "dedup_keep",
+    "near_dedup",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_pairs",

@@ -91,13 +91,56 @@ def exact_duplicates(
     )
 
 
+def exact_duplicate_pairs(
+    ds: ray.data.Dataset, *, id_column: str = "doc_id", text_column: str = "text"
+) -> ray.data.Dataset:
+    """Exact-duplicate EDGES (id_a=group min, id_b=other member), one
+    row per non-canonical member — the pair form consumed by
+    :func:`..cluster.connected_components` / ``dedup_keep`` (already a
+    star graph, so clustering converges in one look). Same shuffle
+    footprint as :func:`exact_duplicates`: only (hash128, id) moves.
+    """
+
+    def add_hash(tbl: pa.Table) -> pa.Table:
+        texts = tbl.column(text_column)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        h1 = hash_strings(texts, seed=1)
+        h2 = hash_strings(texts, seed=2)
+        key = [f"{a:016x}{b:016x}" for a, b in zip(h1, h2)]
+        return pa.table(
+            {"text_hash": pa.array(key, pa.string()),
+             "id": tbl.column(id_column)}
+        )
+
+    def emit(grp: pa.Table) -> pa.Table:
+        ids = grp.column("id")
+        if grp.num_rows < 2:
+            return pa.table({"id_a": pa.array([], ids.type),
+                             "id_b": pa.array([], ids.type)})
+        lo = pc.min(ids)
+        keep = pc.invert(pc.equal(ids, lo))
+        others = ids.filter(keep)
+        return pa.table({
+            "id_a": pa.array([lo.as_py()] * len(others), ids.type),
+            "id_b": others.combine_chunks() if isinstance(
+                others, pa.ChunkedArray) else others,
+        })
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("text_hash")
+        .map_groups(emit, batch_format="pyarrow")
+    )
+
+
 # ------------------------------------------------------- n-gram Jaccard
 
 
 def _distinct_shingles(tbl: pa.Table, id_column: str, text_column: str, w: int
                        ) -> tuple[pa.Array, pa.Array]:
     """Per-row distinct w-token shingle strings -> (ids_repeated,
-    shingles) flat arrays."""
+    shingles, owner_set_sizes) flat arrays."""
     texts = tbl.column(text_column)
     flat, parent, nonempty = _tokens(texts)
     n = tbl.num_rows
@@ -106,7 +149,8 @@ def _distinct_shingles(tbl: pa.Table, id_column: str, text_column: str, w: int
     kept = flat.filter(pa.array(nonempty)) if parent.size else flat
     total = int(offsets[-1])
     if total == 0:
-        return pa.array([], tbl.column(id_column).type), pa.array([], pa.string())
+        return (pa.array([], tbl.column(id_column).type),
+                pa.array([], pa.string()), np.empty(0, dtype=np.int64))
     nwin = max(total - w + 1, 0)
     starts = np.arange(nwin, dtype=np.int64)
     doc_of = np.searchsorted(offsets, starts, side="right") - 1
@@ -132,7 +176,8 @@ def _distinct_shingles(tbl: pa.Table, id_column: str, text_column: str, w: int
         vdocs = np.concatenate([vdocs, short])
     # distinct (doc, shingle)
     if len(shing) == 0:
-        return pa.array([], tbl.column(id_column).type), shing
+        return (pa.array([], tbl.column(id_column).type), shing,
+                np.empty(0, dtype=np.int64))
     sh_arr = shing.combine_chunks() if isinstance(shing, pa.ChunkedArray) else shing
     h = hash_strings(sh_arr, seed=3)
     order = np.lexsort((h, vdocs))
@@ -141,8 +186,12 @@ def _distinct_shingles(tbl: pa.Table, id_column: str, text_column: str, w: int
     if vd.size > 1:
         first[1:] = (vd[1:] != vd[:-1]) | (hh[1:] != hh[:-1])
     sel = order[first]
-    ids = tbl.column(id_column).take(pa.array(vdocs[order][first]))
-    return ids, sh_arr.take(pa.array(sel))
+    vdocs_sel = vdocs[order][first]
+    ids = tbl.column(id_column).take(pa.array(vdocs_sel))
+    # per-row distinct-shingle count of the owning doc: each doc lives
+    # in exactly one batch, so this is its full set size
+    cnt = np.bincount(vdocs_sel, minlength=n)
+    return ids, sh_arr.take(pa.array(sel)), cnt[vdocs_sel].astype(np.int64)
 
 
 def ngram_jaccard_pairs(
@@ -163,60 +212,80 @@ def ngram_jaccard_pairs(
     ``max_shingle_df`` are excluded from pair GENERATION (quadratic-head
     cap) but still count toward per-doc sizes; with the default cap
     nothing is dropped at test scale.
+
+    Join-free dataflow: per-doc set sizes are computed at explode time
+    (a doc's distinct shingles all come from its one batch) and ride
+    the shingle shuffle as an int64 column, so pair rows already carry
+    (n_a, n_b) — no sizes table, no hash joins (which also emit
+    schema-less empty partitions at small scale that crash acero).
     """
+    from .windows import _field_type, _pin
+
+    idt = _field_type(ds, id_column)
+    pair_schema = pa.schema([("id_a", idt), ("id_b", idt),
+                             ("n_a", pa.int64()), ("n_b", pa.int64())])
+    counted_schema = pa.schema([
+        ("id_a", idt), ("id_b", idt), ("n_common", pa.int64()),
+        ("n_a", pa.int64()), ("n_b", pa.int64())])
+    out_schema = pa.schema([
+        ("id_a", idt), ("id_b", idt), ("n_common", pa.int64()),
+        ("n_a", pa.int64()), ("n_b", pa.int64()),
+        ("jaccard_1e6", pa.int64())])
 
     def explode(tbl: pa.Table) -> pa.Table:
-        ids, shing = _distinct_shingles(tbl, id_column, text_column, shingle_size)
-        return pa.table({"id": ids, "shingle": shing})
+        ids, shing, sizes = _distinct_shingles(
+            tbl, id_column, text_column, shingle_size)
+        return pa.table({"id": ids, "shingle": shing,
+                         "n": pa.array(sizes)})
 
     shingles = ds.map_batches(
         explode, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    sizes = shingles.groupby("id").aggregate(Count())
-
     def emit_pairs(grp: pa.Table) -> pa.Table:
         m = grp.num_rows
         if m < 2 or m > max_shingle_df:
-            return pa.table({"id_a": pa.array([], grp.column("id").type),
-                             "id_b": pa.array([], grp.column("id").type)})
-        ids = grp.column("id").to_pylist()
-        ids.sort()
+            return pair_schema.empty_table()
+        arr = np.array(grp.column("id").to_pylist(), dtype=object)
+        ns = grp.column("n").to_numpy()
+        order = np.argsort(arr)
+        arr, ns = arr[order], ns[order]
         a_idx, b_idx = np.triu_indices(m, 1)
-        arr = np.array(ids)
-        return pa.table({"id_a": pa.array(arr[a_idx].tolist()),
-                         "id_b": pa.array(arr[b_idx].tolist())})
+        return pa.table({"id_a": pa.array(arr[a_idx].tolist(), idt),
+                         "id_b": pa.array(arr[b_idx].tolist(), idt),
+                         "n_a": pa.array(ns[a_idx], pa.int64()),
+                         "n_b": pa.array(ns[b_idx], pa.int64())})
 
     pairs = shingles.groupby("shingle").map_groups(
         emit_pairs, batch_format="pyarrow")
 
     def key_pairs(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pair_schema.append(pa.field("pair", pa.string())
+                                      ).empty_table()
         ka = [f"{a}\x00{b}" for a, b in zip(tbl.column("id_a").to_pylist(),
                                             tbl.column("id_b").to_pylist())]
         return tbl.append_column("pair", pa.array(ka, pa.string()))
 
+    def count_group(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return counted_schema.empty_table()
+        return pa.table(
+            {"id_a": g.column("id_a").slice(0, 1),
+             "id_b": g.column("id_b").slice(0, 1),
+             "n_common": pa.array([g.num_rows], pa.int64()),
+             "n_a": g.column("n_a").slice(0, 1),
+             "n_b": g.column("n_b").slice(0, 1)})
+
     counted = (
         pairs.map_batches(key_pairs, batch_format="pyarrow")
         .groupby("pair")
-        .map_groups(
-            lambda g: pa.table(
-                {"id_a": g.column("id_a").slice(0, 1),
-                 "id_b": g.column("id_b").slice(0, 1),
-                 "n_common": pa.array([g.num_rows], pa.int64())}
-            ),
-            batch_format="pyarrow",
-        )
-    )
-
-    joined = counted.join(
-        sizes.rename_columns({"id": "id_a", "count()": "n_a"}),
-        join_type="inner", num_partitions=8, on=("id_a",),
-    ).join(
-        sizes.rename_columns({"id": "id_b", "count()": "n_b"}),
-        join_type="inner", num_partitions=8, on=("id_b",),
+        .map_groups(count_group, batch_format="pyarrow")
     )
 
     def finish(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:  # empty shuffle partitions are schema-less
+            return out_schema.empty_table()
         inter = tbl.column("n_common").to_numpy().astype(np.float64)
         na = tbl.column("n_a").to_numpy().astype(np.float64)
         nb = tbl.column("n_b").to_numpy().astype(np.float64)
@@ -233,7 +302,8 @@ def ngram_jaccard_pairs(
         )
         return out.filter(pa.array(j >= threshold))
 
-    return joined.map_batches(finish, batch_format="pyarrow")
+    return counted.map_batches(finish, batch_format="pyarrow").map_batches(
+        _pin(out_schema), batch_format="pyarrow")
 
 
 # ------------------------------------------------------------- MinHash
