@@ -194,7 +194,11 @@ def cosine_neardup_pairs(
         if same:
             keep = ii < jj
         else:
-            keep = ida[ii] < idb[jj]
+            # every cross-block hit is a distinct unordered pair (each
+            # block pair is visited once) — keep them ALL; filtering on
+            # ida < idb silently drops pairs whenever materialize()
+            # yields blocks whose id ranges are not globally sorted
+            keep = ida[ii] != idb[jj]
         ii, jj = ii[keep], jj[keep]
         a, b = ida[ii], idb[jj]
         swap = a > b

@@ -196,6 +196,18 @@ def test_cosine_neardup_vs_sql(emb_ds):
         set(zip(want["id_a"], want["id_b"]))
 
 
+def test_cosine_neardup_block_order_invariant(emb_ds):
+    """Regression: with blocks whose id ranges are NOT globally sorted
+    (random_shuffle + repartition), the exact path must still find
+    every pair — an `ida < idb` cross-block filter silently dropped
+    pairs from out-of-order blocks."""
+    shuffled = emb_ds.random_shuffle(seed=7).repartition(7)
+    got = cosine_neardup_pairs(shuffled, threshold=0.4).to_pandas()
+    want = cosine_neardup_pairs(emb_ds, threshold=0.4).to_pandas()
+    assert set(zip(got["id_a"], got["id_b"])) == \
+        set(zip(want["id_a"], want["id_b"])) and len(got) == len(want)
+
+
 def test_lsh_topk_subset_of_exact_space(emb_ds):
     Q = np.asarray(
         pq.read_table(EMB).column("embedding").combine_chunks().flatten()
