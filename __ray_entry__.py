@@ -413,6 +413,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["ivf_cosine_topk"] = ivf_topk  # rows-only (approximate)
 
+    def ivf_topk_fullprobe(sf: str):
+        # nprobe == ncentroids probes every cell: the IVF machinery
+        # (train, assign, mask, per-cell score, merge) must reproduce
+        # the exact brute-force result — value-checked against SQL
+        Q = _query_vectors(sf, 2)
+        return ivf_cosine_topk(
+            _emb(sf), Q, query_ids=["q0", "q1"], k=5,
+            ncentroids=16, nprobe=16,
+        )
+
+    q["ivf_cosine_topk_fullprobe"] = ivf_topk_fullprobe
+
     def qfilter(sf: str):
         from patapsco_ray.functions import quality_filter
 
@@ -852,6 +864,17 @@ def oracle_sql() -> dict[str, str]:
                   embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 3),
             c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
                   WHERE vec_id >= 3),
+            s AS (SELECT query_id, vec_id,
+                  CAST(FLOOR(list_cosine_similarity(qe, e) * 1000000 + 0.5)
+                       AS BIGINT) AS score_1e6 FROM q CROSS JOIN c)
+            SELECT query_id, vec_id, CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY score_1e6 DESC, vec_id) - 1
+                AS BIGINT) AS rank, score_1e6
+            FROM s QUALIFY rank < 5""",
+        "ivf_cosine_topk_fullprobe": """
+            WITH q AS (SELECT 'q' || CAST(vec_id AS VARCHAR) AS query_id,
+                  embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 2),
+            c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
             s AS (SELECT query_id, vec_id,
                   CAST(FLOOR(list_cosine_similarity(qe, e) * 1000000 + 0.5)
                        AS BIGINT) AS score_1e6 FROM q CROSS JOIN c)
