@@ -28,18 +28,28 @@ import numpy as np
 BLOCK_SIZE = 128
 
 
-def varint_encode(values: np.ndarray, return_lengths: bool = False):
-    """Encode a uint64 array as a concatenated LEB128 byte stream.
-    ``return_lengths=True`` additionally returns the per-value byte
-    counts (needed to slice a bulk-encoded stream)."""
-    v = np.asarray(values, dtype=np.uint64)
+def varint_encode(values: np.ndarray, return_ends: bool = False):
+    """Encode an unsigned array as a concatenated LEB128 byte stream.
+    ``return_ends=True`` additionally returns the CUMULATIVE byte end
+    position of every value (int64; needed to slice a bulk-encoded
+    stream — returning ends instead of lengths lets the caller skip a
+    second full-length cumsum, which is expensive on this VM where
+    fresh-page writes run ~200 MB/s).
+
+    Accepts uint32 input directly (no upcast copy); other dtypes are
+    converted, and uint64 input whose max fits 32 bits is narrowed —
+    posting deltas/tfs are far below 2^32, and uint32 halves the
+    memory traffic of every pass below.
+    """
+    v = np.asarray(values)
+    if v.dtype != np.uint32 and v.dtype != np.uint64:
+        v = v.astype(np.uint64)
     if v.size == 0:
         empty = np.empty(0, dtype=np.uint8)
-        return (empty, np.empty(0, dtype=np.int64)) if return_lengths else empty
-    # posting deltas/tfs are far below 2^32 in practice; working in
-    # uint32 halves the memory traffic of every pass below
-    if v.size and int(v.max()) < (1 << 32):
+        return (empty, np.empty(0, dtype=np.int64)) if return_ends else empty
+    if v.dtype == np.uint64 and int(v.max()) < (1 << 32):
         v = v.astype(np.uint32)
+    if v.dtype == np.uint32:
         one = np.uint32(1)
         seven_f = np.uint32(0x7F)
         max_groups = 5
@@ -47,17 +57,18 @@ def varint_encode(values: np.ndarray, return_lengths: bool = False):
         one = np.uint64(1)
         seven_f = np.uint64(0x7F)
         max_groups = 10
-    # number of 7-bit groups per value (1..max); stop as soon as no
-    # value needs another group (typical postings need 1-3)
-    nb = np.ones(v.shape, dtype=np.int64)
+    # number of 7-bit groups per value (1..max, fits uint8); stop as
+    # soon as no value needs another group (typical postings need 1-3)
+    nb = np.ones(v.shape, dtype=np.uint8)
     for g in range(1, max_groups):
         m = v >= (one << type(one)(7 * g))
         if not m.any():
             break
         nb += m
-    ends = np.cumsum(nb)
+    ends = np.cumsum(nb, dtype=np.int64)
     starts = ends - nb
-    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    # every output byte is written exactly once below -> empty, not zeros
+    out = np.empty(int(ends[-1]), dtype=np.uint8)
     max_nb = int(nb.max())
     # first byte of every value (no mask needed)
     first = (v & seven_f).astype(np.uint8)
@@ -69,8 +80,8 @@ def varint_encode(values: np.ndarray, return_lengths: bool = False):
         chunk = (v[mask] >> type(one)(7 * g)) & seven_f
         cont = (nb[mask] > g + 1).astype(np.uint8) << 7
         out[starts[mask] + g] = chunk.astype(np.uint8) | cont
-    if return_lengths:
-        return out, nb
+    if return_ends:
+        return out, ends
     return out
 
 
@@ -228,29 +239,49 @@ def encode_postings_bulk(
     block_counts = (block_end - block_start).astype(np.int64)
 
     # delta-gap coding: every block's first value is the absolute
-    # ordinal (blocks decode independently); blocks tile the arrays
-    deltas = ords_cat.astype(np.int64).copy()
-    deltas[1:] -= ords_cat[:-1]
-    deltas[block_start] = ords_cat[block_start]
+    # ordinal (blocks decode independently); blocks tile the arrays.
+    # Segment-local ordinals and tfs always fit int32 — the whole
+    # stream stays 32-bit (half the fresh-page writes; see
+    # varint_encode note on this VM's first-touch cost)
+    small = (int(ords_cat.max()) < (1 << 31)
+             and int(tfs_cat.max()) < (1 << 31)) if n else True
+    if small:
+        o = ords_cat.astype(np.int32, copy=False)
+        deltas = o.copy()
+        deltas[1:] -= o[:-1]
+        deltas[block_start] = o[block_start]
+        # positions 2n fit int32 for any realistic segment (< 2^30
+        # postings); fancy-index assignment accepts int32 indices
+        p = np.arange(n, dtype=np.int32)
+        s_of_p = np.repeat(block_start.astype(np.int32), block_counts)
+        e_of_p = np.repeat(block_end.astype(np.int32), block_counts)
+        stream = np.empty(2 * n, dtype=np.uint32)
+        # deltas/tfs are non-negative -> bit-identical as uint32 views
+        stream[p + s_of_p] = deltas.view(np.uint32)
+        tf32 = tfs_cat.astype(np.int32, copy=False)
+        stream[p + e_of_p] = tf32.view(np.uint32)
+    else:  # pragma: no cover - >2^31 ordinals never occur per segment
+        deltas = ords_cat.astype(np.int64, copy=True)
+        deltas[1:] -= ords_cat[:-1]
+        deltas[block_start] = ords_cat[block_start]
+        p = np.arange(n)
+        s_of_p = np.repeat(block_start, block_counts)
+        e_of_p = np.repeat(block_end, block_counts)
+        stream = np.empty(2 * n, dtype=np.uint64)
+        stream[p + s_of_p] = deltas.astype(np.uint64)
+        stream[p + e_of_p] = tfs_cat.astype(np.uint64)
 
-    # interleave [deltas | tfs] per block into one value stream:
-    # block i occupies stream[2*s_i : 2*e_i]
-    s_of_p = np.repeat(block_start, block_counts)
-    e_of_p = np.repeat(block_end, block_counts)
-    p = np.arange(n)
-    stream = np.empty(2 * n, dtype=np.uint64)
-    stream[p + s_of_p] = deltas.astype(np.uint64)
-    stream[p + e_of_p] = tfs_cat.astype(np.uint64)
+    data, ends = varint_encode(stream, return_ends=True)
 
-    data, nb = varint_encode(stream, return_lengths=True)
-    byte_pos = np.zeros(2 * n + 1, dtype=np.int64)
-    np.cumsum(nb, out=byte_pos[1:])
-
-    block_byte_start = byte_pos[2 * block_start]
+    # byte position of value k is ends[k-1] (0 for k=0): gather the
+    # per-block starts directly instead of materializing a 2n+1 cumsum
+    idx = 2 * block_start
+    safe = np.maximum(idx, 1) - 1
+    block_byte_start = np.where(idx > 0, ends[safe], 0)
     term_first_block_byte = block_byte_start[first_block_of_term]
     term_byte_offsets = np.empty(len(counts) + 1, dtype=np.int64)
     term_byte_offsets[:-1] = term_first_block_byte
-    term_byte_offsets[-1] = byte_pos[-1]
+    term_byte_offsets[-1] = int(ends[-1]) if n else 0
     block_offsets_rel = block_byte_start - term_first_block_byte[block_term]
 
     block_last = ords_cat[block_end - 1].astype(np.int64)

@@ -220,8 +220,10 @@ def build_terms_table_from_flat(
     if T == 0:
         return TERMS_SCHEMA.empty_table(), 0
     term_offsets = np.asarray(term_offsets, dtype=np.int64)
-    ords_cat = np.asarray(ords_cat, dtype=np.int64)
-    tfs_cat = np.asarray(tfs_cat, dtype=np.int64)
+    # keep the (large) posting arrays in their native 32-bit dtype —
+    # upcasting to int64 here doubled the build's fresh allocations
+    ords_cat = np.asarray(ords_cat)
+    tfs_cat = np.asarray(tfs_cat)
     counts = np.diff(term_offsets)
     n = int(term_offsets[-1])
     norms_cat = norms[ords_cat] if norms.size else np.zeros(n, dtype=np.uint8)
