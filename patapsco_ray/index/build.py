@@ -128,9 +128,7 @@ class SegmentBuilder:
         # scaling) is meaningless
         pa.set_cpu_count(1)
         pa.set_io_thread_count(2)
-        from ..util import tune_malloc
-
-        tune_malloc()  # reuse arena pages across segments (see util)
+        # (malloc tuning happens at package import — util.tune_malloc)
         self.index_dir = index_dir
         self.processor = TextProcessor(text_config, lang)
         self.id_column = id_column

@@ -73,9 +73,6 @@ class FragmentEmitter:
 
         pa.set_cpu_count(1)  # one actor == one scheduled cpu
         pa.set_io_thread_count(2)
-        from ..util import tune_malloc
-
-        tune_malloc()
         self.index_dir = pathlib.Path(index_dir)
         self.processor = TextProcessor(text_config, lang)
         self.id_column = id_column
