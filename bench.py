@@ -127,7 +127,7 @@ def run_headline(num_cpus: int, index_dir: str) -> dict:
     # best-of-N (default 2): single runs on this shared box can lose
     # 2x throughput to co-tenant bursts (see BASELINE.md variance
     # note); the max is the least-interference estimate
-    repeats = int(os.environ.get("BENCH_BUILD_REPEATS", "2"))
+    repeats = int(os.environ.get("BENCH_BUILD_REPEATS", "3"))
     build_s = float("inf")
     for _ in range(max(repeats, 1)):
         shutil.rmtree(index_dir, ignore_errors=True)
