@@ -11,8 +11,8 @@ rest. Two operators:
   corpus) resolve with a driver-side union-find; above
   ``driver_threshold`` the alternating large-star/small-star algorithm
   (Kiveris et al., "Connected Components in MapReduce and Beyond",
-  SoCC'14) runs as pure Ray Data groupby/join rounds — O(log d)
-  rounds, nothing ever materializes more than the edge set.
+  SoCC'14) runs as pure Ray Data groupby rounds — O(log d) rounds,
+  nothing ever materializes more than the edge set.
 - :func:`dedup_keep` — drop every non-root member from the corpus:
   broadcast the drop set (``ray.put`` once, read per batch) when it is
   small, else a hash-partitioned left-anti join.
@@ -254,6 +254,8 @@ def dedup_keep(
         ref = ray.put(arr)
 
         def keep(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:  # schema-less empty shuffle blocks
+                return t
             d = ray.get(ref)
             ids = t.column(id_column).to_numpy(zero_copy_only=False)
             pos = np.searchsorted(d, ids)
