@@ -158,6 +158,7 @@ def run_headline(num_cpus: int, index_dir: str) -> dict:
         "ndocs": manifest["ndocs"],
         "build_sec": build_s,
         "docs_per_sec": manifest["ndocs"] / build_s,
+        "finalize_sec": manifest.get("finalize_sec", 0.0),
         "search_sec": search_s,
         "result_rows": res.num_rows,
     }
@@ -243,6 +244,10 @@ def main() -> None:
                     round(results[levels[0]]["queries"]["build_sec"], 2),
                 f"build_sec_{levels[1]}cpu":
                     round(results[levels[1]]["queries"]["build_sec"], 2),
+                f"finalize_sec_{levels[0]}cpu":
+                    results[levels[0]]["queries"].get("finalize_sec", 0.0),
+                f"finalize_sec_{levels[1]}cpu":
+                    results[levels[1]]["queries"].get("finalize_sec", 0.0),
             },
             "sf": rows,
             "num_cpus": levels[1],
@@ -264,6 +269,7 @@ def main() -> None:
         "index_build": round(head["build_sec"], 3),
         "build_sec": round(head["build_sec"], 3),
         "docs_per_sec": round(head["docs_per_sec"], 1),
+        "finalize_sec": round(head["finalize_sec"], 3),
         "search_topk": round(head["search_sec"], 3),
     }
     if not args.headline_only:

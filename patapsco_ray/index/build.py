@@ -429,7 +429,13 @@ def build_index(
         s["base"] = base
         base += s["ndocs"]
     if finalize:
+        import time as _time
+
+        t0 = _time.time()
         finalize_index(index_dir, manifest)
+        # recorded so benchmarks can separate the fixed (serial-ish)
+        # finalize cost from the parallel segment fan-out
+        manifest["finalize_sec"] = round(_time.time() - t0, 3)
     write_manifest(index_dir, manifest)
     return manifest
 
