@@ -442,9 +442,12 @@ def build_index(
 
 # below this many (segment, term) rows the global-stats merge runs as
 # a single local pyarrow aggregation; above it, a Ray Data groupby.
-# Ray's shuffle pays tens of seconds of fixed cost that only amortizes
-# when the term tables stop fitting one node.
-LOCAL_FINALIZE_ROWS = 20_000_000
+# Measured at 29.6M rows (12M docs, 992 segments): local threaded read
+# + group_by + sort = 4.3 s vs 242 s for the Ray groupby+sort branch at
+# 8 cpus (two all-to-alls + 992 small-file reads dominate) — the
+# distributed branch only wins when the stats stop fitting one node.
+# 200M rows ~= 10 GB peak on the local path; beyond that, Ray.
+LOCAL_FINALIZE_ROWS = 200_000_000
 
 
 def finalize_index(index_dir, manifest: dict) -> None:
