@@ -491,7 +491,23 @@ def finalize_index(index_dir, manifest: dict) -> None:
         write_global_terms_ranges(out_dir)
         return
     ds = ray.data.read_parquet(seg_term_files, columns=["term", "df", "cf"])
-    agg = ds.groupby("term").sum(["df", "cf"])
+
+    def partial_agg(tbl: pa.Table) -> pa.Table:
+        # pre-aggregate INSIDE each block before the all-to-all: a
+        # common term appears once per segment, so a block covering k
+        # segment files carries k copies of every shared term — this
+        # collapses them to 1 and the shuffle moves ~vocab-sized
+        # partials instead of (segments x vocab) rows
+        if tbl.num_rows == 0:
+            return pa.schema([("term", pa.string()), ("df", pa.int64()),
+                              ("cf", pa.int64())]).empty_table()
+        g = tbl.group_by("term").aggregate([("df", "sum"), ("cf", "sum")])
+        return g.select(["term", "df_sum", "cf_sum"]).rename_columns(
+            ["term", "df", "cf"])
+
+    agg = (ds.map_batches(partial_agg, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("term").sum(["df", "cf"]))
     # sum() names columns sum(df)/sum(cf); normalize names
     agg = agg.rename_columns({"sum(df)": "df", "sum(cf)": "cf"})
     # sort = Ray's range-partitioned sort, so the parallel parquet write
