@@ -126,22 +126,27 @@ def run_headline(num_cpus: int, index_dir: str) -> dict:
                 rows_per_segment=max(2048, 125_000 // max(num_cpus, 1)),
                 concurrency=num_cpus)
     shutil.rmtree(warm_dir, ignore_errors=True)
-    # best-of-N (default 2): single runs on this shared box can lose
+    # best-of-N (default 3): single runs on this shared box can lose
     # 2x throughput to co-tenant bursts (see BASELINE.md variance
-    # note); the max is the least-interference estimate
+    # note); the min-time run is the least-interference estimate, and
+    # its manifest (incl. finalize_sec) is the one reported so the
+    # headline numbers all come from the same run
     repeats = int(os.environ.get("BENCH_BUILD_REPEATS", "3"))
     build_s = float("inf")
+    manifest = None
     for _ in range(max(repeats, 1)):
         shutil.rmtree(index_dir, ignore_errors=True)
         t0 = time.time()
-        manifest = build_index(
+        m = build_index(
             paths,
             index_dir,
             text_config=cfg,
             rows_per_segment=ROWS_PER_SEGMENT,
             concurrency=num_cpus,
         )
-        build_s = min(build_s, time.time() - t0)
+        dt = time.time() - t0
+        if dt < build_s:
+            build_s, manifest = dt, m
 
     searcher = IndexSearcher(index_dir)
     qset = [

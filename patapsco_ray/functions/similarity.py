@@ -154,7 +154,7 @@ def cosine_neardup_pairs(
     threshold: float = 0.4,
     id_column: str = "vec_id",
     vector_column: str = "embedding",
-    exact_max_rows: int | None = 200_000,
+    exact_max_rows: int | None = None,
     planes: int = 12,
     num_tables: int = 4,
     seed: int = 5,
@@ -163,21 +163,42 @@ def cosine_neardup_pairs(
     """Embedding near-duplicate pairs: (id_a, id_b, score_1e6) with
     id_a < id_b and cosine >= threshold.
 
-    Scale-adaptive: at or below ``exact_max_rows`` rows the EXACT
-    all-pairs blocked matmul runs (the oracle-checked baseline); above
-    it, a streaming LSH-bucketed path (`random-hyperplane buckets x
-    num_tables` -> within-bucket exact verify -> pair dedup) that never
-    materializes the dataset and whose recall < 1 by construction —
-    near-identical vectors collide in at least one table with high
-    probability. Pass ``exact_max_rows=None`` to force the exact path.
+    By default (``exact_max_rows=None``) the EXACT all-pairs blocked
+    matmul always runs (the oracle-checked baseline; O(B^2) block
+    tasks). Passing ``exact_max_rows=N`` opts into scale-adaptive mode:
+    above N rows a streaming LSH-bucketed path runs instead
+    (`random-hyperplane buckets x num_tables` -> within-bucket exact
+    verify -> pair dedup) whose recall < 1 by construction — a loud
+    warning is logged when it is selected, since results are
+    approximate. The adaptive probe counts the column-pruned
+    projection after materializing it ONCE (no double execution of the
+    upstream plan); call :func:`_neardup_lsh` semantics directly via
+    ``exact_max_rows=0`` for the pure streaming path on huge inputs.
     """
-    if exact_max_rows is not None and ds.count() > exact_max_rows:
+    if exact_max_rows is not None and exact_max_rows <= 0:
+        # pure streaming path: no materialization, no count probe
+        import logging
+        logging.getLogger(__name__).warning(
+            "cosine_neardup_pairs: using APPROXIMATE LSH path "
+            "(exact_max_rows=%s); recall < 1 by construction",
+            exact_max_rows)
         return _neardup_lsh(
             ds, threshold=threshold, id_column=id_column,
             vector_column=vector_column, planes=planes,
             num_tables=num_tables, seed=seed,
             max_bucket_rows=max_bucket_rows)
     proj = ds.select_columns([id_column, vector_column]).materialize()
+    if exact_max_rows is not None and proj.count() > exact_max_rows:
+        import logging
+        logging.getLogger(__name__).warning(
+            "cosine_neardup_pairs: %d rows > exact_max_rows=%d — "
+            "switching to the APPROXIMATE LSH path (recall < 1)",
+            proj.count(), exact_max_rows)
+        return _neardup_lsh(
+            proj, threshold=threshold, id_column=id_column,
+            vector_column=vector_column, planes=planes,
+            num_tables=num_tables, seed=seed,
+            max_bucket_rows=max_bucket_rows)
     refs = proj.to_arrow_refs()
 
     @ray.remote

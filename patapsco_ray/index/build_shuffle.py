@@ -397,8 +397,10 @@ class _TermShardWriter:
         tmp = self.terms_dir / (name + ".tmp")
         pq.write_table(tbl, tmp, row_group_size=4096)
         tmp.rename(self.terms_dir / name)
-        pq.write_table(tbl.select(["term", "df", "cf"]),
-                       self.global_dir / name, row_group_size=1 << 16)
+        gtmp = self.global_dir / (name + ".tmp")
+        pq.write_table(tbl.select(["term", "df", "cf"]), gtmp,
+                       row_group_size=1 << 16)
+        gtmp.rename(self.global_dir / name)
         return pa.table({
             "nterms": pa.array([tbl.num_rows], pa.int64()),
             "npostings": pa.array(

@@ -243,7 +243,12 @@ def encode_postings_bulk(
     # Segment-local ordinals and tfs always fit int32 — the whole
     # stream stays 32-bit (half the fresh-page writes; see
     # varint_encode note on this VM's first-touch cost)
-    small = (int(ords_cat.max()) < (1 << 31)
+    # 2*n must also fit int32: the scatter indices p + s_of_p/e_of_p
+    # reach 2n-1, which overflows int32 for a single encode call with
+    # >= 2^30 postings (possible for the shuffle build's one global
+    # segment at scale)
+    small = (2 * n < (1 << 31)
+             and int(ords_cat.max()) < (1 << 31)
              and int(tfs_cat.max()) < (1 << 31)) if n else True
     if small:
         o = ords_cat.astype(np.int32, copy=False)

@@ -20,6 +20,7 @@ segment files, matching the reference's single-process web service.
 from __future__ import annotations
 
 import json
+import threading
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -29,7 +30,16 @@ from .stages.docstore import DocStore
 
 def make_handler(searcher: IndexSearcher, store: DocStore | None,
                  k: int = 1000):
-    """Build the request-handler class bound to one searcher/store."""
+    """Build the request-handler class bound to one searcher/store.
+
+    Searches are serialized with a lock: ThreadingHTTPServer handles
+    each request on its own thread, but the shared IndexSearcher's
+    SegmentScorer caches (lazily-opened pyarrow ParquetFile handles,
+    norm/doc-id arrays) are not thread-safe. The reference web service
+    is effectively single-process, so a lock preserves its semantics
+    while keeping slow clients from wedging the accept loop."""
+
+    search_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload) -> None:
@@ -49,14 +59,16 @@ def make_handler(searcher: IndexSearcher, store: DocStore | None,
                 if store is None:
                     self._send(503, {"error": "no document store attached"})
                     return
-                doc = store.get(doc_id)
+                with search_lock:
+                    doc = store.get(doc_id)
                 if doc is None:
                     self._send(404, {"error": f"unknown doc {doc_id}"})
                     return
                 self._send(200, doc)
             elif path.startswith("/query/"):
                 text = path[len("/query/"):]
-                hits = searcher.search(text, k=k)
+                with search_lock:
+                    hits = searcher.search(text, k=k)
                 self._send(200, [
                     {"doc_id": h["doc_id"], "rank": h["rank"],
                      "score": h["score"]} for h in hits
