@@ -39,26 +39,43 @@ __all__ = ["connected_components", "dedup_keep", "near_dedup"]
 # ------------------------------------------------------------ components
 
 
-def _driver_union_find(pairs: list[tuple[str, str]]) -> dict[str, str]:
-    """Union-find with path halving; root = min id of the component."""
-    parent: dict[str, str] = {}
-
-    def find(x: str) -> str:
-        r = parent.setdefault(x, x)
-        while r != parent[r]:
-            parent[r] = parent[parent[r]]
-            r = parent[r]
-        parent[x] = r
-        return r
-
-    for a, b in pairs:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            # union by id order so the root is always the min — keeps
-            # find() results canonical without a second pass
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-    return {x: find(x) for x in parent}
+def _driver_components(t: pa.Table) -> pa.Table:
+    """Vectorized driver-side components over an edge table (u, v):
+    dictionary-encode endpoints to int codes, then alternate numpy
+    edge relaxation (min-label across each edge) with pointer jumping
+    until fixpoint — O(E) numpy work per round, O(log n) rounds, no
+    Python-per-edge loop. Labels are ranks in the natural (ascending)
+    id order, so the fixpoint label of a component is its minimum id.
+    Returns (id, root) sorted by id."""
+    u = t.column("u").combine_chunks()
+    v = t.column("v").combine_chunks()
+    enc = pa.concat_arrays([u, v]).dictionary_encode()
+    codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+    nodes = enc.dictionary
+    nn = len(nodes)
+    m = t.num_rows
+    cu, cv = codes[:m], codes[m:]
+    node_of_rank = np.asarray(
+        pc.sort_indices(nodes).to_numpy(zero_copy_only=False),
+        dtype=np.int64)
+    rank = np.empty(nn, dtype=np.int64)
+    rank[node_of_rank] = np.arange(nn, dtype=np.int64)
+    label = rank.copy()
+    while True:
+        prev = label.copy()
+        mn = np.minimum(label[cu], label[cv])
+        np.minimum.at(label, cu, mn)
+        np.minimum.at(label, cv, mn)
+        # pointer jump: adopt the (never larger) label of the node
+        # currently holding your label's rank
+        np.minimum(label, label[node_of_rank[label]], out=label)
+        if np.array_equal(label, prev):
+            break
+    order = node_of_rank  # ascending id order
+    ids = nodes.take(pa.array(order))
+    roots = nodes.take(pa.array(node_of_rank[label[order]]))
+    return pa.table({"id": ids, "root": roots})
 
 
 def _distinct_edges(edges: ray.data.Dataset, schema: pa.Schema
@@ -174,14 +191,9 @@ def connected_components(
             pa.table({"id": pa.array([], id_type),
                       "root": pa.array([], id_type)}))
     if n <= driver_threshold:
-        plist = [(r["u"], r["v"])
-                 for b in edges.iter_batches(batch_format="pyarrow")
-                 for r in b.to_pylist()]
-        comp = _driver_union_find(plist)
-        ids = sorted(comp)
-        return ray.data.from_arrow(pa.table(
-            {"id": pa.array(ids, id_type),
-             "root": pa.array([comp[i] for i in ids], id_type)}))
+        t = pa.concat_tables(
+            edges.iter_batches(batch_format="pyarrow")).combine_chunks()
+        return ray.data.from_arrow(_driver_components(t))
 
     from .hashing import hash_strings, splitmix64
 

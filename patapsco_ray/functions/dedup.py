@@ -18,12 +18,18 @@ Four families, each a Ray Data dataflow designed for the 100 TB case:
   and exact Hamming verification.
 
 Skew note: the df/bucket caps bound the all-pairs blowup of head
-shingles/buckets (Zipf head terms co-occur everywhere); dropped groups
-are counted in the emitted ``_dropped`` sentinel rows of the capped
-stages' logs (documented per function).
+shingles/buckets (Zipf head terms co-occur everywhere); every capped
+stage logs a WARNING per dropped group with its size, so a run that
+dropped candidate mass is visibly flagged instead of silently exact-
+looking. The caps default to the same ~2000 order everywhere
+(``max_shingle_df`` / ``max_bucket``) — a head group at the cap emits
+~2M pairs, the worst single-task unit we allow.
 """
 
 from __future__ import annotations
+
+import binascii
+import logging
 
 import numpy as np
 import pyarrow as pa
@@ -36,6 +42,30 @@ from .hashing import combine_hashes, hash_strings, splitmix64, window_hashes
 from .textstats import _seg_count, _tokens
 
 _U64 = np.uint64
+
+_LOG = logging.getLogger(__name__)
+
+# upper bound on pair-index entries materialized per emission chunk in
+# ngram_jaccard_pairs (module-level so tests can shrink it)
+_CHUNK_PAIRS = 1 << 21
+
+
+def _hash128_hex(texts: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """128-bit content hash per string as a 32-char hex Arrow string
+    column, fully vectorized (two 64-bit hashes -> big-endian bytes ->
+    one hexlify -> zero-copy StringArray from offsets)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    if n == 0:
+        return pa.array([], pa.string())
+    buf = np.empty((n, 2), dtype=">u8")
+    buf[:, 0] = hash_strings(texts, seed=1)
+    buf[:, 1] = hash_strings(texts, seed=2)
+    hexbytes = binascii.hexlify(buf.tobytes())
+    offsets = np.arange(0, 32 * (n + 1), 32, dtype=np.int32)
+    return pa.StringArray.from_buffers(
+        n, pa.py_buffer(offsets.tobytes()), pa.py_buffer(hexbytes))
 
 # 16-bit popcount table (numpy<2 lacks bitwise_count)
 _POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
@@ -66,14 +96,8 @@ def exact_duplicates(
     """
 
     def add_hash(tbl: pa.Table) -> pa.Table:
-        texts = tbl.column(text_column)
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        h1 = hash_strings(texts, seed=1)
-        h2 = hash_strings(texts, seed=2)
-        key = [f"{a:016x}{b:016x}" for a, b in zip(h1, h2)]
         return pa.table(
-            {"text_hash": pa.array(key, pa.string()),
+            {"text_hash": _hash128_hex(tbl.column(text_column)),
              id_column: tbl.column(id_column)}
         )
 
@@ -102,14 +126,8 @@ def exact_duplicate_pairs(
     """
 
     def add_hash(tbl: pa.Table) -> pa.Table:
-        texts = tbl.column(text_column)
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        h1 = hash_strings(texts, seed=1)
-        h2 = hash_strings(texts, seed=2)
-        key = [f"{a:016x}{b:016x}" for a, b in zip(h1, h2)]
         return pa.table(
-            {"text_hash": pa.array(key, pa.string()),
+            {"text_hash": _hash128_hex(tbl.column(text_column)),
              "id": tbl.column(id_column)}
         )
 
@@ -201,7 +219,7 @@ def ngram_jaccard_pairs(
     text_column: str = "text",
     shingle_size: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int = 100_000,
+    max_shingle_df: int = 2000,
 ) -> ray.data.Dataset:
     """Exact n-gram-Jaccard near-duplicate pairs.
 
@@ -210,8 +228,13 @@ def ngram_jaccard_pairs(
     shingles (docs shorter than the shingle size contribute their whole
     token sequence as one shingle). Shingles with document frequency >
     ``max_shingle_df`` are excluded from pair GENERATION (quadratic-head
-    cap) but still count toward per-doc sizes; with the default cap
-    nothing is dropped at test scale.
+    cap — a group AT the cap already emits ~2M pair rows, the largest
+    single-task unit we allow) but still count toward per-doc sizes, so
+    a computed Jaccard is a lower bound whenever a drop happened; every
+    dropped shingle group is logged as a WARNING with its df. Groups
+    under the cap emit their pair rows in bounded sub-chunks so peak
+    task memory stays ~O(chunk), not O(df^2), even when the cap is
+    raised.
 
     Join-free dataflow: per-doc set sizes are computed at explode time
     (a doc's distinct shingles all come from its one batch) and ride
@@ -221,6 +244,9 @@ def ngram_jaccard_pairs(
     """
     from .windows import _field_type, _pin
 
+    # captured at call time so the closure ships the driver's value
+    # (tests shrink it to exercise multi-chunk emission)
+    chunk_pairs = _CHUNK_PAIRS
     idt = _field_type(ds, id_column)
     pair_schema = pa.schema([("id_a", idt), ("id_b", idt),
                              ("n_a", pa.int64()), ("n_b", pa.int64())])
@@ -244,17 +270,41 @@ def ngram_jaccard_pairs(
 
     def emit_pairs(grp: pa.Table) -> pa.Table:
         m = grp.num_rows
-        if m < 2 or m > max_shingle_df:
+        if m < 2:
             return pair_schema.empty_table()
-        arr = np.array(grp.column("id").to_pylist(), dtype=object)
-        ns = grp.column("n").to_numpy()
-        order = np.argsort(arr)
-        arr, ns = arr[order], ns[order]
-        a_idx, b_idx = np.triu_indices(m, 1)
-        return pa.table({"id_a": pa.array(arr[a_idx].tolist(), idt),
-                         "id_b": pa.array(arr[b_idx].tolist(), idt),
-                         "n_a": pa.array(ns[a_idx], pa.int64()),
-                         "n_b": pa.array(ns[b_idx], pa.int64())})
+        if m > max_shingle_df:
+            _LOG.warning(
+                "ngram_jaccard_pairs: dropping shingle group with df=%d "
+                "> max_shingle_df=%d (%d pairs skipped; reported "
+                "jaccard values are now lower bounds for affected docs)",
+                m, max_shingle_df, m * (m - 1) // 2)
+            return pair_schema.empty_table()
+        order = pc.sort_indices(grp.column("id"))
+        ids = grp.column("id").take(order).combine_chunks()
+        ns = grp.column("n").take(order).combine_chunks()
+        # chunked upper-triangle emission: rows [i0, i1) of the triangle
+        # per chunk, each bounded to ~chunk_pairs index entries, so a
+        # raised cap cannot make one giant (m^2/2)-sized temp
+        CHUNK_PAIRS = chunk_pairs
+        parts, i0 = [], 0
+        while i0 < m - 1:
+            i1, budget = i0, CHUNK_PAIRS
+            while i1 < m - 1 and budget > 0:
+                budget -= m - 1 - i1
+                i1 += 1
+            rows = np.arange(i0, i1)
+            reps = (m - 1 - rows).astype(np.int64)
+            a_idx = np.repeat(rows, reps)
+            b_idx = (np.arange(reps.sum(), dtype=np.int64)
+                     - np.repeat(np.cumsum(reps) - reps, reps)
+                     + a_idx + 1)
+            parts.append(pa.table({
+                "id_a": ids.take(pa.array(a_idx)),
+                "id_b": ids.take(pa.array(b_idx)),
+                "n_a": ns.take(pa.array(a_idx)),
+                "n_b": ns.take(pa.array(b_idx))}))
+            i0 = i1
+        return pa.concat_tables(parts).cast(pair_schema)
 
     pairs = shingles.groupby("shingle").map_groups(
         emit_pairs, batch_format="pyarrow")
@@ -393,7 +443,12 @@ def minhash_lsh_pairs(
         empty = pa.table({"id_a": pa.array([], id_type),
                           "id_b": pa.array([], id_type),
                           "est_jaccard_1e6": pa.array([], pa.int64())})
-        if m < 2 or m > max_bucket:
+        if m < 2:
+            return empty
+        if m > max_bucket:
+            _LOG.warning(
+                "minhash_lsh_pairs: dropping LSH bucket with %d members "
+                "> max_bucket=%d (candidate recall reduced)", m, max_bucket)
             return empty
         ids = grp.column("id").to_pylist()
         sigs = np.asarray(
@@ -500,7 +555,12 @@ def simhash_pairs(
         empty = pa.table({"id_a": pa.array([], id_type),
                           "id_b": pa.array([], id_type),
                           "hamming": pa.array([], pa.int64())})
-        if m < 2 or m > max_bucket:
+        if m < 2:
+            return empty
+        if m > max_bucket:
+            _LOG.warning(
+                "simhash_pairs: dropping band bucket with %d members "
+                "> max_bucket=%d (candidate recall reduced)", m, max_bucket)
             return empty
         ids = grp.column("id").to_pylist()
         sims = grp.column("simhash").to_numpy().view(_U64)

@@ -6,11 +6,20 @@ import pytest
 import ray.data
 
 from patapsco_ray.functions.cluster import (
-    _driver_union_find,
+    _driver_components,
     connected_components,
     dedup_keep,
     near_dedup,
 )
+
+
+def _driver_union_find(pairs, typ=pa.string()):
+    """Reference wrapper over the vectorized driver path."""
+    t = pa.table({"u": pa.array([a for a, _ in pairs], typ),
+                  "v": pa.array([b for _, b in pairs], typ)})
+    out = _driver_components(t)
+    return dict(zip(out.column("id").to_pylist(),
+                    out.column("root").to_pylist()))
 from patapsco_ray.functions.dedup import exact_duplicate_pairs
 
 

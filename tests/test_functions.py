@@ -138,6 +138,56 @@ def test_ngram_jaccard_vs_sql(docs_ds):
     assert (got[cols].values == want[cols].values).all()
 
 
+def test_ngram_jaccard_head_shingle_cap(ray_session):
+    """A shingle whose df exceeds max_shingle_df is dropped from pair
+    generation (logged in the worker) but still counts toward set
+    sizes, so reported jaccard becomes a LOWER bound for docs sharing
+    it."""
+    # every doc shares the head shingle "a b c"; pairs (1,2) also share
+    # "x y z" etc. so they survive on those shingles alone
+    tbl = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b c x y z", "a b c x y z",
+                 "a b c q r s", "a b c t u v"],
+    })
+    ds = ray.data.from_arrow(tbl)
+    got = ngram_jaccard_pairs(
+        ds, shingle_size=3, threshold=0.1, max_shingle_df=3
+    ).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    # df("a b c")=4 > 3 -> dropped; only shingles unique to (1,2) pair
+    assert set(zip(got["id_a"], got["id_b"])) == {(1, 2)}
+    # n_common counts only surviving shingles (3 of the 4 shared),
+    # sizes still count all 4 distinct shingles per doc
+    assert got.loc[0, "n_common"] == 3
+    assert got.loc[0, "n_a"] == 4 and got.loc[0, "n_b"] == 4
+    # uncapped control: the head shingle counts again
+    full = ngram_jaccard_pairs(
+        ds, shingle_size=3, threshold=0.1).to_pandas()
+    pair12 = full[(full.id_a == 1) & (full.id_b == 2)]
+    assert pair12["n_common"].tolist() == [4]
+    assert pair12["jaccard_1e6"].tolist() == [1_000_000]
+
+
+def test_ngram_jaccard_chunked_emission(ray_session, monkeypatch):
+    """Multi-chunk triangle emission must equal single-chunk output."""
+    from patapsco_ray.functions import dedup as dmod
+
+    tbl = pa.table({
+        "doc_id": list(range(8)),
+        "text": ["common shingle here"] * 8,  # one group of df=8
+    })
+    ds = ray.data.from_arrow(tbl)
+    want = ngram_jaccard_pairs(
+        ds, shingle_size=3, threshold=0.1).to_pandas().sort_values(
+        ["id_a", "id_b"]).reset_index(drop=True)
+    monkeypatch.setattr(dmod, "_CHUNK_PAIRS", 3)  # 28 pairs -> many chunks
+    got = ngram_jaccard_pairs(
+        ds, shingle_size=3, threshold=0.1).to_pandas().sort_values(
+        ["id_a", "id_b"]).reset_index(drop=True)
+    assert len(want) == 28
+    assert (got.values == want.values).all()
+
+
 def test_minhash_finds_true_neardups(docs_ds):
     """Every very-high-Jaccard pair must be recalled by MinHash+LSH."""
     exact = ngram_jaccard_pairs(docs_ds, threshold=0.8).to_pandas()
