@@ -50,10 +50,14 @@ from patapsco_ray.functions import (
     topk_by_key,
     tumbling_window_agg,
 )
+from patapsco_ray.functions import winnow_fingerprints
 from patapsco_ray.functions.multimodal import (
     decode_images,
     extract_audio_features,
+    png_encode,
     sample_video_frames,
+    video_container_encode,
+    wav_encode,
 )
 from patapsco_ray.index import build_index
 from patapsco_ray.search import IndexSearcher
@@ -129,7 +133,71 @@ RM3_EXPANDED_QUERIES: dict[str, list[tuple[str, float]]] = {
            ("table", 0.17556635405993312), ("value", 0.0452496215419409)],
 }
 
+# Adversarial input rows for the normalization_report check: the
+# synthetic corpus is clean ASCII (pre_normalize is the identity on
+# it), so the report over the corpus alone is vacuously empty. These
+# rows — NBSP/thin/hair/ideographic spaces, control chars, format
+# chars (SHY/ZWSP/ZWNJ), NEL/LSEP/PSEP, a combining accent, a
+# mojibake sequence — exercise every branch of the pre-normalize
+# chain. The expected counters (NORM_EXPECTED) are frozen from the
+# byte-parity-tested normalizer (tests/test_reference_parity.py runs
+# pre_normalize against the reference module on 317 adversarial
+# strings) and embedded in the oracle as VALUES: the same frozen-
+# constant pattern as RM3_EXPANDED_QUERIES.
+NORM_DIRTY_ROWS: list[str] = [
+    'hello\xa0world',
+    'tab\tseparated\tvalues',
+    'bell\x07char and \x1b escape',
+    'soft\xadhyphen inside',
+    'zero\u200bwidth\u200cjoin',
+    'combo cafe\u0301 accent',
+    'wide\u3000ideographic space',
+    'line\u2028sep and\u2029para',
+    'double  space   runs',
+    'nel\x85next line',
+    'thin\u2009space and\u200ahair',
+    'mojibake caf\xc3\xa9 text',
+]
+NORM_EXPECTED: list[tuple[str, int]] = [
+    ('\t ->  ', 2),
+    ('del \x07', 1),
+    ('del \x1b', 1),
+    ('del  ', 1),
+    ('del \xad', 1),
+    ('del \u200b', 1),
+    ('del \u200c', 1),
+    ('e\u0301 -> \xe9', 1),
+    ('\x85 ->  ', 1),
+    ('\xa0 ->  ', 1),
+    ('\xc3\xa9 -> \xe9', 1),
+    ('\u2009 ->  ', 1),
+    ('\u200a ->  ', 1),
+    ('\u2028 ->  ', 1),
+    ('\u2029 ->  ', 1),
+    ('\u3000 ->  ', 1),
+]
+
 _CACHE_ROOT = pathlib.Path("/tmp/patapsco_ray_cache")
+
+
+def _sql_str(s: str) -> str:
+    """Render a Python string as a DuckDB expression, using chr() for
+    anything outside printable ASCII (control chars and non-ASCII in
+    change labels would not survive a plain SQL literal)."""
+    parts: list[str] = []
+    buf = ""
+    for ch in s:
+        if 32 <= ord(ch) < 127:
+            buf += ch if ch != "'" else "''"
+        else:
+            if buf:
+                parts.append(f"'{buf}'")
+                buf = ""
+            parts.append(f"chr({ord(ch)})")
+    if buf:
+        parts.append(f"'{buf}'")
+    return " || ".join(parts) if parts else "''"
+
 
 
 def _index_for(sf_dir: str) -> str:
@@ -149,9 +217,10 @@ def _index_for(sf_dir: str) -> str:
     return str(index_dir)
 
 
-def _scaled(x) -> pa.Array:
+def _scaled(x, scale: float = 1e6) -> pa.Array:
     return pa.array(
-        np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5).astype(np.int64)
+        np.floor(np.asarray(x, dtype=np.float64) * scale + 0.5
+                 ).astype(np.int64)
     )
 
 
@@ -250,7 +319,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # SmallFloat norms); oracle embeds the quantization table as VALUES
     q["bm25_topk_quantized"] = lambda sf: _search(sf, "bm25", quantize=True)
 
-    def rm3(sf: str):  # rows-only: feedback weights not SQL-friendly
+    def rm3(sf: str):
+        # full RM3 derivation, value-checked: the oracle replicates the
+        # ENTIRE algorithm in SQL — quantized-BM25 feedback search
+        # (top-10 by exact score, doc_id tie-break), RM1 term weighting
+        # over the feedback docs' tf/dl from the doc store, top-10
+        # terms by (-p, term), z-normalize, 0.5/0.5 interpolation with
+        # the original query model, weighted quantized-BM25 rescore.
+        # Reference semantics: /root/reference/patapsco/retrieve.py
+        # 104-113 (pyserini Rm3Reranker defaults).
         idx = _index_for(sf)
         store_dir = _CACHE_ROOT / (
             re.sub(r"[^A-Za-z0-9._-]", "_", str(sf).strip("/")) + "-store-v1"
@@ -262,20 +339,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
             write_doc_store(proc, store_dir, num_buckets=8)
             (store_dir / ".complete").touch()
-        from patapsco_ray.search import search_rm3
+        from patapsco_ray.search.rm3 import rm3_expand
 
         searcher = IndexSearcher(idx)
         store = DocStore(store_dir)
-        rows = []
+        qids, dids, scores = [], [], []
         for qid, text in RETRIEVAL_QUERIES:
-            for hit in search_rm3(searcher, store, text, k=TOP_K):
-                rows.append((qid, hit["doc_id"], hit["rank"], hit["score"]))
-        return pa.table({
-            "query_id": pa.array([r[0] for r in rows], pa.string()),
-            "doc_id": pa.array([int(r[1]) for r in rows], pa.int64()),
-            "rank": pa.array([r[2] for r in rows], pa.int64()),
-            "score_1e6": _scaled([r[3] for r in rows]),
+            weights = rm3_expand(searcher, store, text)
+            for hit in searcher.search_weighted(weights, k=TOP_K + 16):
+                qids.append(qid)
+                dids.append(hit["doc_id"])
+                scores.append(hit["score"])
+        tbl = pa.table({
+            "query_id": pa.array(qids, pa.string()),
+            "doc_id": pa.array(dids, pa.string()),
+            "score": pa.array(scores, pa.float64()),
         })
+        return _rank_rounded(tbl, TOP_K)
 
     q["rm3_topk"] = rm3
 
@@ -349,13 +429,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["quality_signals"] = lambda sf: quality_signals(_docs(sf)).select_columns(
         ["doc_id", "n_chars", "n_tokens", "n_unique_tokens", "n_stopwords"]
     )
-    q["language_id"] = lambda sf: language_id(_docs(sf))  # rows-only
-    q["fingerprints"] = lambda sf: fingerprints(_docs(sf))  # rows-only
+    q["language_id"] = lambda sf: language_id(_docs(sf))
 
-    def norm_report(sf: str):  # rows-only: difflib opcodes not in SQL
+    # winnowing with w=1 selects EVERY shingle hash, so n_selected is
+    # the distinct 3-shingle count — SQL recomputes it from the text
+    # without knowing the hash function (degenerate-parameter oracle;
+    # the bottom-1 `fingerprints` sketch and non-degenerate winnowing
+    # stay property-tested in tests/test_functions.py /
+    # test_urls_quality.py)
+    q["fingerprints"] = lambda sf: winnow_fingerprints(
+        _docs(sf), k=3, w=1
+    ).select_columns(["doc_id", "n_shingles", "n_selected"])
+
+    def norm_report(sf: str):
+        # corpus rows are clean ASCII (identity under pre_normalize);
+        # the frozen NORM_DIRTY_ROWS are unioned in so the report is
+        # non-trivial, and checked against the frozen NORM_EXPECTED
+        # counters (VALUES oracle)
         from patapsco_ray.text.normalize import normalization_report
 
-        return normalization_report(_docs(sf), text_column="text")
+        dirty = ray.data.from_arrow(pa.table({
+            "text": pa.array(NORM_DIRTY_ROWS, pa.string())}))
+        ds = _docs(sf).select_columns(["text"]).union(dirty)
+        return normalization_report(ds, text_column="text")
 
     q["normalization_report"] = norm_report
 
@@ -364,9 +460,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["ngram_jaccard_pairs"] = lambda sf: ngram_jaccard_pairs(
         _docs(sf), threshold=0.2
     )
+    # Degenerate-parameter oracles for the probabilistic pair stages:
+    # signature agreement (minhash) and fingerprint equality (simhash)
+    # are LOSSY projections — two docs differing by one token out of
+    # 80 can agree on all 128 minhashes (p ~ (1-3/80)^128 ~ 1%) or
+    # collide on the 64-bit simhash, so "threshold=1.0 == identical
+    # shingle sets" does NOT hold on raw near-dup corpora (observed on
+    # this corpus: (267,413) minhash, (45,413) simhash). The sound
+    # degenerate construction: rewrite each doc's text to its FAMILY
+    # CANONICAL (the real text of doc_id % 50) — within a family the
+    # inputs are bit-identical so full agreement is CERTAIN, across
+    # families the canonical texts are unrelated real docs (verified
+    # distinct) so full agreement has ~2^-64-grade probability and is
+    # deterministic under the fixed seeds. The whole dataflow
+    # (shingle -> sig -> band -> bucket groupby -> verify -> pair
+    # dedup) runs on real ~80-token texts; approximate thresholds stay
+    # covered by the pytest recall tests.
+    def _family_docs(sf: str) -> ray.data.Dataset:
+        canon_tbl = pq.read_table(f"{sf}/documents.parquet",
+                                  columns=["doc_id", "text"])
+        canon = {int(d): t for d, t in zip(
+            canon_tbl.column("doc_id").to_pylist(),
+            canon_tbl.column("text").to_pylist()) if int(d) < 50}
+
+        def rewrite(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_pylist()
+            return pa.table({
+                "doc_id": t.column("doc_id"),
+                "text": pa.array([canon[int(d) % 50] for d in ids],
+                                 pa.string()),
+            })
+
+        return _docs(sf).select_columns(["doc_id"]).map_batches(
+            rewrite, batch_format="pyarrow")
+
     q["minhash_lsh_pairs"] = lambda sf: minhash_lsh_pairs(
-        _docs(sf), threshold=0.5
-    )  # rows-only (probabilistic)
+        _family_docs(sf), threshold=1.0
+    )
     # cluster-level dedup: transitive closure of the jaccard pairs
     # (driver union-find at this edge count; alternating-star Ray
     # rounds above 5M edges — tests/test_cluster.py covers both)
@@ -377,9 +507,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     ).select_columns(["doc_id"])
     q["exact_dedup_keep"] = lambda sf: near_dedup(
         _docs(sf), method="exact").select_columns(["doc_id"])
+    # same family-canonical construction (see minhash comment above):
+    # max_hamming=0 pairs == same-family pairs, certain within, ~2^-64
+    # across; max_hamming=3 on raw text stays covered in pytest
     q["simhash_pairs"] = lambda sf: simhash_pairs(
-        _docs(sf), max_hamming=3
-    )  # rows-only
+        _family_docs(sf), max_hamming=0
+    )
 
     # --- similarity search over embeddings ---
     def topk(sf: str):
@@ -397,21 +530,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     def lsh_topk(sf: str):
+        # degenerate-parameter oracle: probes == planes probes the
+        # full Hamming ball (all 2^6 buckets), so the LSH machinery
+        # (hyperplane bucketing, probe-set membership filter, partial
+        # top-k, per-query merge) must reproduce the exact brute-force
+        # result — value-checked against SQL. Smaller radii (the
+        # approximate path) stay covered in pytest.
         Q = _query_vectors(sf, 2)
         return lsh_cosine_topk(
-            _emb(sf), Q, query_ids=["q0", "q1"], k=5, planes=6
+            _emb(sf), Q, query_ids=["q0", "q1"], k=5, planes=6, probes=6
         )
 
-    q["lsh_cosine_topk"] = lsh_topk  # rows-only (approximate)
+    q["lsh_cosine_topk"] = lsh_topk
 
     def ivf_topk(sf: str):
+        # degenerate-parameter oracle: nprobe == ncentroids probes
+        # every cell (8-centroid quantizer; the 16-centroid variant is
+        # the _fullprobe row below) — exact result, value-checked.
         Q = _query_vectors(sf, 2)
         return ivf_cosine_topk(
             _emb(sf), Q, query_ids=["q0", "q1"], k=5,
-            ncentroids=16, nprobe=6,
+            ncentroids=8, nprobe=8,
         )
 
-    q["ivf_cosine_topk"] = ivf_topk  # rows-only (approximate)
+    q["ivf_cosine_topk"] = ivf_topk
 
     def ivf_topk_fullprobe(sf: str):
         # nprobe == ncentroids probes every cell: the IVF machinery
@@ -466,25 +608,120 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sessionize"] = lambda sf: sessionize(_events(sf), gap="30m")
     q["topk_by_key"] = lambda sf: topk_by_key(_events(sf), k=3)
 
-    # --- multimodal plumbing (deterministic fake decode backend) ---
-    def _with_binary(sf: str, col: str) -> ray.data.Dataset:
+    # --- multimodal: REAL stdlib decoders over synthesized payloads.
+    # Each entry builds a deterministic binary per doc_id (8x8 RGB PNG /
+    # 64-sample 16-bit WAV / PRVC frame container with an arithmetic
+    # byte pattern), runs the real decode (zlib PNG inflate+unfilter,
+    # RIFF PCM parse, container demux), and emits quantities the SQL
+    # oracle recomputes ANALYTICALLY from doc_id — so pixel values,
+    # sample values and frame bytes are value-checked end-to-end.
+    def mm_images(sf: str):
         def add(t: pa.Table) -> pa.Table:
-            payload = pa.compute.cast(
-                t.column("text"), pa.binary()
-            )
-            return pa.table({"id": t.column("doc_id"), col: payload})
+            ids = t.column("doc_id").to_pylist()
+            y, x = np.mgrid[0:8, 0:8]
+            payloads = []
+            for d in ids:
+                d = int(d)
+                px = np.stack(
+                    [(d * (3 + c) + x * 7 + y * 11) % 256 for c in range(3)],
+                    axis=2).astype(np.uint8)
+                payloads.append(png_encode(px))
+            return pa.table({"id": t.column("doc_id"),
+                             "image": pa.array(payloads, pa.binary())})
 
-        return _docs(sf).map_batches(add, batch_format="pyarrow")
+        ds = _docs(sf).select_columns(["doc_id"]).map_batches(
+            add, batch_format="pyarrow")
+        dec = decode_images(ds, backend="real", feature_dim=16,
+                            concurrency=2)
 
-    q["decode_images"] = lambda sf: decode_images(
-        _with_binary(sf, "image"), concurrency=2
-    )  # rows-only
-    q["audio_features"] = lambda sf: extract_audio_features(
-        _with_binary(sf, "audio"), concurrency=2
-    )  # rows-only
-    q["video_frames"] = lambda sf: sample_video_frames(
-        _with_binary(sf, "video"), every_n=10
-    )  # rows-only
+        def post(t: pa.Table) -> pa.Table:
+            f = np.asarray(t.column("features").combine_chunks().flatten()
+                           .to_numpy(zero_copy_only=False)).reshape(-1, 16)
+            # features[0:3] are channel means / 255 (documented recipe);
+            # * 255 * 64 recovers the exact integer pixel sums
+            sums = np.round(f[:, 0:3] * 255.0 * 64.0).astype(np.int64)
+            return pa.table({
+                "id": pa.compute.cast(t.column("id"), pa.int64()),
+                "width": pa.compute.cast(t.column("width"), pa.int64()),
+                "height": pa.compute.cast(t.column("height"), pa.int64()),
+                "channels": pa.compute.cast(t.column("channels"), pa.int64()),
+                "sum_r": pa.array(sums[:, 0]),
+                "sum_g": pa.array(sums[:, 1]),
+                "sum_b": pa.array(sums[:, 2]),
+            })
+
+        return dec.map_batches(post, batch_format="pyarrow")
+
+    q["decode_images"] = mm_images
+
+    def mm_audio(sf: str):
+        def add(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_pylist()
+            i = np.arange(64, dtype=np.int64)
+            payloads = []
+            for d in ids:
+                s = ((int(d) * 7 + i * 13) % 2000 - 1000).astype(np.int16)
+                payloads.append(wav_encode(s, sample_rate=8000,
+                                           sample_width=2))
+            return pa.table({"id": t.column("doc_id"),
+                             "audio": pa.array(payloads, pa.binary())})
+
+        ds = _docs(sf).select_columns(["doc_id"]).map_batches(
+            add, batch_format="pyarrow")
+        dec = extract_audio_features(ds, backend="real", feature_dim=8,
+                                     concurrency=2)
+
+        def post(t: pa.Table) -> pa.Table:
+            f = np.asarray(t.column("features").combine_chunks().flatten()
+                           .to_numpy(zero_copy_only=False)).reshape(-1, 8)
+            return pa.table({
+                "id": pa.compute.cast(t.column("id"), pa.int64()),
+                "duration_ms": t.column("duration_ms"),
+                "sample_rate": pa.compute.cast(
+                    t.column("sample_rate"), pa.int64()),
+                "mean_1e9": _scaled(f[:, 0], 1e9),
+                "rms_1e9": _scaled(f[:, 1], 1e9),
+                "max_abs_1e9": _scaled(f[:, 2], 1e9),
+            })
+
+        return dec.map_batches(post, batch_format="pyarrow")
+
+    q["audio_features"] = mm_audio
+
+    def mm_video(sf: str):
+        def add(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_pylist()
+            payloads = []
+            for d in ids:
+                d = int(d)
+                frames = []
+                for f in range(d % 7 + 1):
+                    ln = 16 + (d + f) % 8
+                    frames.append(bytes(
+                        (d * 5 + f * 3 + j) % 256 for j in range(ln)))
+                payloads.append(video_container_encode(frames))
+            return pa.table({"id": t.column("doc_id"),
+                             "video": pa.array(payloads, pa.binary())})
+
+        ds = _docs(sf).select_columns(["doc_id"]).map_batches(
+            add, batch_format="pyarrow")
+        sampled = sample_video_frames(ds, backend="real", every_n=2,
+                                      max_frames=3)
+
+        def post(t: pa.Table) -> pa.Table:
+            frames = t.column("frame").to_pylist()
+            return pa.table({
+                "id": pa.compute.cast(t.column("id"), pa.int64()),
+                "frame_index": pa.compute.cast(
+                    t.column("frame_index"), pa.int64()),
+                "n_bytes": pa.array([len(b) for b in frames], pa.int64()),
+                "byte_sum": pa.array([int(sum(b)) for b in frames],
+                                     pa.int64()),
+            })
+
+        return sampled.map_batches(post, batch_format="pyarrow")
+
+    q["video_frames"] = mm_video
 
     return q
 
@@ -602,15 +839,20 @@ QUALIFY rank < {TOP_K} ORDER BY rank
 """
 
 
-def _quantized_bm25_sql() -> str:
-    """BM25 over byte4-QUANTIZED doc lengths (the engine's default,
-    Lucene SmallFloat norm semantics): the dl -> quantized-dl mapping
-    is a fixed public table, embedded as VALUES."""
+def _qmap_values() -> str:
+    """The byte4 dl -> quantized-dl mapping (Lucene SmallFloat norm
+    semantics, a fixed public table) as SQL VALUES pairs."""
     from patapsco_ray.index.norms import DECODE_TABLE, encode_lengths
 
     dls = np.arange(4096, dtype=np.int64)
     dlq = DECODE_TABLE[encode_lengths(dls)]
-    pairs = ", ".join(f"({int(d)}, {float(q)})" for d, q in zip(dls, dlq))
+    return ", ".join(f"({int(d)}, {float(q)})" for d, q in zip(dls, dlq))
+
+
+def _quantized_bm25_sql() -> str:
+    """BM25 over byte4-QUANTIZED doc lengths (the engine's default,
+    Lucene SmallFloat norm semantics)."""
+    pairs = _qmap_values()
     return f"""
 WITH q(query_id, term) AS (VALUES {_queries_values()}),
 toks AS ({_TOKS}),
@@ -645,6 +887,94 @@ FROM (SELECT query_id, doc_id,
       FROM scored)
 QUALIFY rank < {TOP_K} ORDER BY query_id, rank
 """
+
+
+def _rm3_sql() -> str:
+    """The FULL RM3 derivation in SQL (reference semantics at
+    /root/reference/patapsco/retrieve.py:104-113; our rm3_expand in
+    search/rm3.py): quantized-BM25 feedback search -> top-10 docs by
+    (exact score desc, doc_id asc) -> RM1 term weights
+    p(t) = sum_d (score_d / sum_scores) * tf(t,d) / dl(d) over the
+    feedback docs -> top-10 terms by (p desc, term asc), normalized ->
+    0.5/0.5 interpolation with the uniform original query model ->
+    weighted quantized-BM25 rescore, rounded-rank tail like every
+    other retrieval oracle."""
+    quant_term = ("ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+                  "* tf.tf / (tf.tf + 0.9 * (1 - 0.4 + 0.4 * dlq.dlq "
+                  "/ s.avgdl))")
+    return f"""
+WITH q(query_id, term) AS (VALUES {_queries_values()}),
+toks AS ({_TOKS}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+       FROM toks GROUP BY doc_id, term),
+dl AS (SELECT d.doc_id, count(t.term) AS dl
+       FROM documents d LEFT JOIN toks t USING (doc_id)
+       GROUP BY d.doc_id),
+qmap(dl, dlq) AS (VALUES {_qmap_values()}),
+dlq AS (SELECT dl.doc_id, qmap.dlq FROM dl JOIN qmap USING (dl)),
+stats AS (SELECT count(*)::DOUBLE AS n,
+                 (SELECT sum(dl) FROM dl) / count(*)::DOUBLE AS avgdl
+          FROM documents),
+df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+       FROM toks GROUP BY term),
+s1 AS (
+  SELECT q.query_id, tf.doc_id, sum({quant_term}) AS score
+  FROM q JOIN tf ON tf.term = q.term
+         JOIN df ON df.term = q.term
+         JOIN dlq ON dlq.doc_id = tf.doc_id
+         CROSS JOIN stats s
+  GROUP BY 1, 2),
+fb AS (SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, doc_id) AS rn
+       FROM s1 QUALIFY rn <= 10),
+ssum AS (SELECT query_id, sum(score) AS ssum FROM fb GROUP BY query_id),
+rm1 AS (
+  SELECT fb.query_id, tf.term,
+         sum((fb.score / ssum.ssum) * tf.tf / dl.dl) AS p
+  FROM fb JOIN ssum USING (query_id)
+       JOIN tf ON tf.doc_id = fb.doc_id
+       JOIN dl ON dl.doc_id = fb.doc_id
+  GROUP BY 1, 2),
+fbtop AS (SELECT query_id, term, p,
+            row_number() OVER (PARTITION BY query_id
+                ORDER BY p DESC, term) AS rn
+          FROM rm1 QUALIFY rn <= 10),
+z AS (SELECT query_id, sum(p) AS z FROM fbtop GROUP BY query_id),
+nq AS (SELECT query_id, count(*)::DOUBLE AS nq FROM q GROUP BY query_id),
+model AS (
+  SELECT COALESCE(o.query_id, f.query_id) AS query_id,
+         COALESCE(o.term, f.term) AS term,
+         0.5 * COALESCE(o.w, 0.0) + 0.5 * COALESCE(f.pn, 0.0) AS w
+  FROM (SELECT q.query_id, q.term, 1.0 / nq.nq AS w
+        FROM q JOIN nq USING (query_id)) o
+  FULL JOIN (SELECT fbtop.query_id, fbtop.term, fbtop.p / z.z AS pn
+             FROM fbtop JOIN z USING (query_id)) f
+    ON o.query_id = f.query_id AND o.term = f.term),
+scored AS (
+  SELECT m.query_id, tf.doc_id, sum(m.w * ({quant_term})) AS score
+  FROM model m JOIN tf ON tf.term = m.term
+       JOIN df ON df.term = m.term
+       JOIN dlq ON dlq.doc_id = tf.doc_id
+       CROSS JOIN stats s
+  GROUP BY 1, 2)
+SELECT query_id, doc_id,
+  CAST(row_number() OVER (PARTITION BY query_id
+       ORDER BY score_1e6 DESC, doc_id) - 1 AS BIGINT) AS rank,
+  score_1e6
+FROM (SELECT query_id, doc_id,
+        CAST(FLOOR(score * 1000000 + 0.5) AS BIGINT) AS score_1e6
+      FROM scored)
+QUALIFY rank < {TOP_K} ORDER BY query_id, rank
+"""
+
+
+def _norm_report_sql() -> str:
+    """VALUES oracle of the frozen NORM_EXPECTED counters (labels
+    rendered with chr() so control chars survive)."""
+    rows = ", ".join(f"({_sql_str(c)}, {n})" for c, n in NORM_EXPECTED)
+    return (f"SELECT change, CAST(cnt AS BIGINT) AS count FROM "
+            f"(VALUES {rows}) t(change, cnt)")
 
 
 def _language_id_sql() -> str:
@@ -890,4 +1220,113 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                   b.embedding::DOUBLE[]) >= 0.4""",
+        "rm3_topk": _rm3_sql(),
+        "normalization_report": _norm_report_sql(),
+        # winnowing with w=1 selects every shingle hash: n_selected ==
+        # distinct 3-shingle count, n_shingles == shingle positions
+        # (short non-empty docs contribute one whole-doc shingle)
+        "fingerprints": """
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+              FROM documents),
+            shl AS (
+              SELECT doc_id, CASE WHEN len(t) < 3
+                THEN [array_to_string(t, ' ')]
+                ELSE list_transform(range(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS shs
+              FROM toks WHERE len(t) > 0),
+            sh AS (SELECT DISTINCT doc_id, unnest(shs) AS sh FROM shl),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            npos AS (SELECT doc_id, CASE WHEN len(t) = 0 THEN 0
+                       WHEN len(t) < 3 THEN 1 ELSE len(t) - 2 END AS np
+                     FROM toks)
+            SELECT d.doc_id,
+              CAST(COALESCE(npos.np, 0) AS BIGINT) AS n_shingles,
+              CAST(COALESCE(sizes.n, 0) AS BIGINT) AS n_selected
+            FROM documents d
+            LEFT JOIN npos USING (doc_id)
+            LEFT JOIN sizes USING (doc_id)""",
+        # family-canonical inputs (text := text of doc_id % 50):
+        # threshold=1.0 minhash pairs == same-family pairs
+        "minhash_lsh_pairs": """
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(1000000 AS BIGINT) AS est_jaccard_1e6
+            FROM documents a JOIN documents b
+              ON a.doc_id % 50 = b.doc_id % 50 AND a.doc_id < b.doc_id""",
+        # family-canonical inputs: max_hamming=0 simhash pairs ==
+        # same-family pairs
+        "simhash_pairs": """
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(0 AS BIGINT) AS hamming
+            FROM documents a JOIN documents b
+              ON a.doc_id % 50 = b.doc_id % 50 AND a.doc_id < b.doc_id""",
+        # probes == planes scans every bucket: exact brute-force top-k
+        "lsh_cosine_topk": """
+            WITH q AS (SELECT 'q' || CAST(vec_id AS VARCHAR) AS query_id,
+                  embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 2),
+            c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+            s AS (SELECT query_id, vec_id,
+                  CAST(FLOOR(list_cosine_similarity(qe, e) * 1000000 + 0.5)
+                       AS BIGINT) AS score_1e6 FROM q CROSS JOIN c)
+            SELECT query_id, vec_id, CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY score_1e6 DESC, vec_id) - 1
+                AS BIGINT) AS rank, score_1e6
+            FROM s QUALIFY rank < 5""",
+        # nprobe == ncentroids probes every cell: exact brute-force
+        "ivf_cosine_topk": """
+            WITH q AS (SELECT 'q' || CAST(vec_id AS VARCHAR) AS query_id,
+                  embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 2),
+            c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+            s AS (SELECT query_id, vec_id,
+                  CAST(FLOOR(list_cosine_similarity(qe, e) * 1000000 + 0.5)
+                       AS BIGINT) AS score_1e6 FROM q CROSS JOIN c)
+            SELECT query_id, vec_id, CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY score_1e6 DESC, vec_id) - 1
+                AS BIGINT) AS rank, score_1e6
+            FROM s QUALIFY rank < 5""",
+        # analytic pixel sums of the synthesized 8x8 RGB PNGs
+        "decode_images": """
+            WITH g AS (SELECT gx.range AS x, gy.range AS y
+                       FROM range(8) gx CROSS JOIN range(8) gy)
+            SELECT d.doc_id AS id, CAST(8 AS BIGINT) AS width,
+              CAST(8 AS BIGINT) AS height, CAST(3 AS BIGINT) AS channels,
+              CAST(sum((d.doc_id * 3 + g.x * 7 + g.y * 11) % 256)
+                   AS BIGINT) AS sum_r,
+              CAST(sum((d.doc_id * 4 + g.x * 7 + g.y * 11) % 256)
+                   AS BIGINT) AS sum_g,
+              CAST(sum((d.doc_id * 5 + g.x * 7 + g.y * 11) % 256)
+                   AS BIGINT) AS sum_b
+            FROM documents d CROSS JOIN g GROUP BY d.doc_id""",
+        # analytic stats of the synthesized 64-sample 8 kHz PCM WAVs
+        "audio_features": """
+            WITH s AS (SELECT d.doc_id,
+                  ((d.doc_id * 7 + i.range * 13) % 2000 - 1000) / 32768.0
+                    AS v
+                FROM documents d CROSS JOIN range(64) i)
+            SELECT doc_id AS id, CAST(8 AS BIGINT) AS duration_ms,
+              CAST(8000 AS BIGINT) AS sample_rate,
+              CAST(FLOOR(avg(v) * 1000000000 + 0.5) AS BIGINT) AS mean_1e9,
+              CAST(FLOOR(sqrt(avg(v * v)) * 1000000000 + 0.5) AS BIGINT)
+                AS rms_1e9,
+              CAST(FLOOR(max(abs(v)) * 1000000000 + 0.5) AS BIGINT)
+                AS max_abs_1e9
+            FROM s GROUP BY doc_id""",
+        # analytic sampled-frame sizes/sums of the PRVC containers:
+        # doc d has (d % 7) + 1 frames; every_n=2, max_frames=3 keeps
+        # original indices {0, 2, 4}; frame f has 16 + (d+f) % 8 bytes
+        # with byte j = (d*5 + f*3 + j) % 256
+        "video_frames": """
+            WITH f AS (SELECT d.doc_id, fr.range AS f
+                       FROM documents d CROSS JOIN range(5) fr
+                       WHERE fr.range % 2 = 0
+                         AND fr.range < (d.doc_id % 7) + 1),
+            b AS (SELECT doc_id, f, j.range AS j
+                  FROM f CROSS JOIN range(24) j
+                  WHERE j.range < 16 + (doc_id + f) % 8)
+            SELECT doc_id AS id, CAST(f AS BIGINT) AS frame_index,
+              CAST(16 + (doc_id + f) % 8 AS BIGINT) AS n_bytes,
+              CAST(sum((doc_id * 5 + f * 3 + j) % 256) AS BIGINT)
+                AS byte_sum
+            FROM b GROUP BY doc_id, f""",
     }

@@ -12,10 +12,12 @@ Ray Data transform:
 - :mod:`similarity` — brute-force cosine top-k against a broadcast
   query matrix, exact all-pairs near-dup, LSH-bucketed ANN scale path
 - :mod:`multimodal` — actor-pool decode/feature stages over opaque
-  binary columns (decode kernels stubbed; Ray plumbing real)
+  binary columns (real stdlib PNG/WAV/container decoders; formats
+  needing external codec libraries raise with a clear message)
 """
 
-from .textstats import token_counts, quality_signals, quality_filter, language_id, fingerprints
+from .textstats import (token_counts, quality_signals, quality_filter,
+                        language_id, fingerprints, winnow_fingerprints)
 from .urls import canonicalize_url, canonicalize_urls, url_duplicates
 from .dedup import (
     exact_duplicates,
@@ -39,6 +41,7 @@ __all__ = [
     "url_duplicates",
     "language_id",
     "fingerprints",
+    "winnow_fingerprints",
     "exact_duplicates",
     "exact_duplicate_pairs",
     "connected_components",

@@ -356,9 +356,15 @@ def lsh_cosine_topk(
     vector_column: str = "embedding",
 ) -> ray.data.Dataset:
     """Approximate cosine top-k: random-hyperplane buckets + exact
-    rescoring of bucket candidates (multi-probe flips up to ``probes``
-    bits of the query bucket). Same output schema as
-    :func:`cosine_topk`; recall < 1 by construction."""
+    rescoring of bucket candidates. ``probes`` is the multi-probe
+    Hamming radius: every bucket within ``probes`` bit flips of a
+    query's bucket is scanned. ``probes >= planes`` probes EVERY
+    bucket, making the result exactly :func:`cosine_topk` — the
+    degenerate-parameter configuration the driver's SQL oracle
+    value-checks. Same output schema as :func:`cosine_topk`; recall
+    < 1 by construction for smaller radii."""
+    from itertools import combinations
+
     Q = _normalize(np.asarray(query_vectors, dtype=np.float64))
     d = Q.shape[1]
     rng = np.random.default_rng(seed)
@@ -371,11 +377,18 @@ def lsh_cosine_topk(
 
     qb = bucket_of(Q)
     probe_set: set[int] = set()
-    for b in qb:
-        probe_set.add(int(b))
-        if probes >= 1:
-            for bit in range(planes):
-                probe_set.add(int(b) ^ (1 << bit))
+    if probes >= planes:
+        probe_set.update(range(1 << planes))
+    else:
+        for b in qb:
+            b = int(b)
+            probe_set.add(b)
+            for r in range(1, max(probes, 0) + 1):
+                for bits in combinations(range(planes), r):
+                    m = 0
+                    for bit in bits:
+                        m |= 1 << bit
+                    probe_set.add(b ^ m)
     probe_ref = ray.put(probe_set)
 
     def flt(tbl: pa.Table) -> pa.Table:

@@ -262,6 +262,99 @@ def fingerprints(
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def winnow_fingerprints(
+    ds: ray.data.Dataset,
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    k: int = 4,
+    w: int = 4,
+    seed: int = 11,
+) -> ray.data.Dataset:
+    """Winnowing fingerprints (Schleimer, Wilkerson, Aiken: "Winnowing:
+    Local Algorithms for Document Fingerprinting", SIGMOD 2003).
+
+    k-token shingle hashes -> sliding windows of ``w`` consecutive
+    hashes -> the minimum of each window is selected -> the document's
+    fingerprint set is the DISTINCT selected hashes. Guarantees any
+    shared token run of length >= w + k - 1 produces a shared
+    fingerprint. Documents with fewer than ``w`` shingles (but at
+    least one) contribute one window spanning all their shingles.
+
+    Returns (id, n_shingles, n_selected, min_fingerprint):
+    n_shingles = number of k-shingle positions (token-count - k + 1;
+    docs with 0 < tokens < k contribute their whole token sequence as
+    ONE shingle, matching :func:`..dedup.ngram_jaccard_pairs`; 0 for
+    empty docs), n_selected = |distinct selected hashes|,
+    min_fingerprint = the smallest shingle hash (int64 view; 0 for
+    shingle-less docs).
+
+    Degenerate-parameter oracle: with ``w=1`` every shingle hash is
+    selected, so ``n_selected`` equals the distinct k-shingle count —
+    which SQL can recompute from the text without knowing the hash
+    function (the driver checks exactly this at sf0.01).
+    """
+    from .hashing import window_hashes
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        texts = tbl.column(text_column)
+        flat, parent, nonempty = _tokens(texts)
+        n = tbl.num_rows
+        counts = _seg_count(parent, nonempty, n)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        th = hash_strings(flat, seed=seed)[nonempty] if parent.size else \
+            np.empty(0, dtype=np.uint64)
+        wh, woff = window_hashes(th, offsets, k)
+        nsh = np.diff(woff)
+        n_selected = np.zeros(n, dtype=np.int64)
+        min_fp = np.zeros(n, dtype=np.uint64)
+        nz = np.flatnonzero(nsh > 0)
+        if nz.size:
+            min_fp[nz] = np.minimum.reduceat(wh, woff[:-1][nz])
+            # windows that fit wholly inside one doc
+            sel_doc_parts, sel_val_parts = [], []
+            if w <= 1:
+                sel_val_parts.append(wh)
+                sel_doc_parts.append(
+                    np.repeat(np.arange(n), nsh.astype(np.int64)))
+            else:
+                long_nz = nz[nsh[nz] >= w]
+                if len(wh) >= w and long_nz.size:
+                    sw = np.lib.stride_tricks.sliding_window_view(
+                        wh, w).min(axis=1)
+                    starts = woff[:-1][long_nz]
+                    nwin = (nsh[long_nz] - w + 1).astype(np.int64)
+                    idx = (np.arange(nwin.sum(), dtype=np.int64)
+                           - np.repeat(np.cumsum(nwin) - nwin, nwin)
+                           + np.repeat(starts, nwin))
+                    sel_val_parts.append(sw[idx])
+                    sel_doc_parts.append(np.repeat(long_nz, nwin))
+                # short docs: one window over all their shingles
+                short_nz = nz[nsh[nz] < w]
+                if short_nz.size:
+                    sel_val_parts.append(
+                        np.minimum.reduceat(wh, woff[:-1][short_nz]))
+                    sel_doc_parts.append(short_nz)
+            if sel_val_parts:
+                vals = np.concatenate(sel_val_parts)
+                docs = np.concatenate(sel_doc_parts)
+                order = np.lexsort((vals, docs))
+                dv, vv = docs[order], vals[order]
+                first = np.ones(dv.size, dtype=bool)
+                if dv.size > 1:
+                    first[1:] = (dv[1:] != dv[:-1]) | (vv[1:] != vv[:-1])
+                n_selected = np.bincount(
+                    dv[first], minlength=n).astype(np.int64)
+        return pa.table({
+            id_column: tbl.column(id_column),
+            "n_shingles": pa.array(nsh.astype(np.int64)),
+            "n_selected": pa.array(n_selected),
+            "min_fingerprint": pa.array(min_fp.view(np.int64)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def quality_filter(
     ds: ray.data.Dataset,
     *,

@@ -96,6 +96,41 @@ def test_fingerprints_identical_docs_collide(ray_session):
     assert got.loc[4, "fingerprint"] == 0 and got.loc[4, "n_windows"] == 0
 
 
+def test_winnow_fingerprints(ray_session):
+    from patapsco_ray.functions import winnow_fingerprints
+
+    tbl = pa.table({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            "a b c d e f g h",          # 8 tokens -> 6 3-shingles
+            "a b c d e f g h",          # identical -> same selection
+            "x y",                      # short: one whole-doc shingle
+            "",                         # empty: nothing
+            "p q r p q r p q r p q r",  # repeats -> few distinct
+        ],
+    })
+    ds = ray.data.from_arrow(tbl)
+    got = winnow_fingerprints(ds, k=3, w=1).to_pandas().set_index("doc_id")
+    assert got.loc[1, "n_shingles"] == 6
+    # w=1 selects every shingle; all 6 distinct here
+    assert got.loc[1, "n_selected"] == 6
+    assert got.loc[3, "n_shingles"] == 1 and got.loc[3, "n_selected"] == 1
+    assert got.loc[4, "n_shingles"] == 0 and got.loc[4, "n_selected"] == 0
+    assert got.loc[4, "min_fingerprint"] == 0
+    # 12 tokens -> 10 positions but only 3 distinct shingles
+    assert got.loc[5, "n_shingles"] == 10
+    assert got.loc[5, "n_selected"] == 3
+    # identical docs share the identical fingerprint selection
+    assert got.loc[1, "min_fingerprint"] == got.loc[2, "min_fingerprint"]
+    # w>1 selects a subset of the w=1 selection
+    w4 = winnow_fingerprints(ds, k=3, w=4).to_pandas().set_index("doc_id")
+    assert (w4["n_selected"] <= got["n_selected"]).all()
+    assert (w4.loc[[1, 2, 3, 5], "n_selected"] >= 1).all()
+    # winnowing guarantee: docs sharing a run >= w + k - 1 tokens share
+    # at least one selected fingerprint -> identical docs 1/2 collide
+    assert w4.loc[1, "min_fingerprint"] == w4.loc[2, "min_fingerprint"]
+
+
 def test_exact_duplicates(ray_session):
     tbl = pa.table({
         "doc_id": [5, 1, 2, 9, 3],
@@ -288,9 +323,10 @@ def test_multimodal_stubs(ray_session):
     # determinism: same payload -> same features
     img2 = decode_images(ds, concurrency=1).to_pandas()
     assert img["features"].iloc[0] == pytest.approx(img2["features"].iloc[0])
-    # real backend is an explicit stub
-    with pytest.raises(NotImplementedError):
-        decode_images(ds, backend="real")
+    # real backend rejects junk payloads loudly (tests/test_multimodal.py
+    # covers the real decode paths on valid PNG/WAV/PRVC payloads)
+    with pytest.raises(Exception, match="not a PNG|RayTaskError|UserCode"):
+        decode_images(ds, backend="real", concurrency=1).to_pandas()
 
 
 def test_cosine_neardup_lsh_path(emb_ds):
