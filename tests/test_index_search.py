@@ -209,6 +209,20 @@ def test_prune_matches_exhaustive(ray_session, tmp_path):
                 assert np.array_equal(o1, o2), (q, k)
                 assert np.array_equal(sc1, sc2), (q, k)
 
+    # prune="auto": identical hits to dense, engages per rarest-term
+    # selectivity (df/N <= AUTO_PRUNE_DF_RATIO)
+    sa = IndexSearcher(tmp_path / "idx", text_config=CFG, prune="auto")
+    for text in ("t0", "t0 t7 t33", "t3 t44"):
+        assert sa.search(text, k=50) == s.search(text, k=50), text
+    assert sa._resolve_prune({}, g, 10) is False
+    assert sa._resolve_prune({"zzz-absent": 1}, g, 10) is False
+    # all 50 vocab terms are head terms on this corpus: never engages
+    assert sa._resolve_prune({"t0": 1}, g, 10) is False
+    # a term matching <=1% of docs flips it on
+    rare_g = dict(g)
+    rare_g["t0"] = (int(0.005 * sa.stats.ndocs), 5)
+    assert sa._resolve_prune({"t0": 1, "t7": 1}, rare_g, 10) is True
+
 
 def test_explain_sums_to_score(corpus_index):
     """explain(): per-term contributions reproduce the search score

@@ -202,3 +202,34 @@ class TestJiebaFallback:
         assert tok.tokenize("abc 中文 def") == ["abc", "中文", "def"]
         assert tok.tokenize("中") == ["中"]
         assert tok.tokenize("x中文y") == ["x", "中文", "y"]
+
+
+def test_english_lemmatizer_fallback():
+    """stem='spacy' resolves to the rule-based eng lemma fallback when
+    spaCy is absent (reference text.py:344-386 seam)."""
+    import pytest
+
+    from patapsco_ray.text.stem import EnglishLemmatizer, create_stemmer
+
+    s = create_stemmer("spacy", "eng")
+    cases = {
+        "running": "run", "made": "make", "cities": "city",
+        "dogs": "dog", "glasses": "glass", "boxes": "box",
+        "was": "be", "children": "child", "played": "play",
+        "making": "make", "happiest": "happy", "funnier": "funny",
+        "bus": "bus", "analysis": "analysis", "see": "see",
+        "goes": "go", "stopped": "stop", "hoped": "hope",
+        # ambiguous without vocab: left alone on purpose
+        "paper": "paper", "water": "water",
+    }
+    got = s.stem(list(cases))
+    assert got == list(cases.values())
+    # determinism through the cache
+    assert s.stem(["running", "running"]) == ["run", "run"]
+    # non-eng lemma fallback and stanza stay explicit seams
+    with pytest.raises(NotImplementedError):
+        create_stemmer("spacy", "rus")
+    with pytest.raises(NotImplementedError):
+        create_stemmer("stanza", "eng")
+    with pytest.raises(NotImplementedError):
+        EnglishLemmatizer("fra")
