@@ -50,7 +50,7 @@ from patapsco_ray.functions import (
     topk_by_key,
     tumbling_window_agg,
 )
-from patapsco_ray.functions import winnow_fingerprints
+from patapsco_ray.functions import repetition_signals, winnow_fingerprints
 from patapsco_ray.functions.multimodal import (
     decode_images,
     extract_audio_features,
@@ -575,6 +575,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["quality_filter"] = qfilter
 
+    q["repetition_signals"] = lambda sf: repetition_signals(_docs(sf))
+
+    # PII entries: the synthetic corpus has no PII, so a deterministic
+    # PII-bearing suffix (email / phone / ipv4 / ssn derived from
+    # doc_id) is appended with Arrow kernels; the oracle regenerates
+    # the same suffix in SQL and runs the SAME RE2 patterns via
+    # DuckDB's regexp functions — counts AND redacted text are
+    # value-checked.
+    def _pii_docs(sf: str) -> ray.data.Dataset:
+        def add(t: pa.Table) -> pa.Table:
+            i64 = pa.compute.cast(t.column("doc_id"), pa.int64())
+            ids = pa.compute.cast(i64, pa.string())
+            mod = np.mod(np.asarray(
+                i64.to_numpy(zero_copy_only=False)), 10000)
+            pad = pa.compute.utf8_lpad(
+                pa.compute.cast(pa.array(mod), pa.string()),
+                width=4, padding="0")
+            text = pa.compute.binary_join_element_wise(
+                pa.compute.cast(t.column("text"), pa.string()),
+                " contact user", ids, "@example.com call +1 555-123-",
+                pad, " ssn 123-45-6789", "")
+            return pa.table({"doc_id": t.column("doc_id"), "text": text})
+
+        return _docs(sf).select_columns(["doc_id", "text"]).map_batches(
+            add, batch_format="pyarrow")
+
+    def pii_c(sf: str):
+        from patapsco_ray.functions import pii_counts
+
+        return pii_counts(_pii_docs(sf))
+
+    q["pii_counts"] = pii_c
+
+    def pii_r(sf: str):
+        from patapsco_ray.functions import redact_pii
+
+        return redact_pii(_pii_docs(sf))
+
+    q["redact_pii"] = pii_r
+
+    def chunks(sf: str):
+        from patapsco_ray.functions import chunk_documents
+
+        return chunk_documents(_docs(sf), chunk_size=16, overlap=4)
+
+    q["chunk_documents"] = chunks
+
     def url_dedup(sf: str):
         from patapsco_ray.functions import url_duplicates
 
@@ -969,6 +1016,33 @@ QUALIFY rank < {TOP_K} ORDER BY query_id, rank
 """
 
 
+def _pii_sql(mode: str) -> str:
+    """Oracle for the PII entries: regenerate the deterministic
+    doc_id-derived PII suffix in SQL, then run the SAME RE2 patterns
+    (pyarrow and DuckDB both use RE2) — per-pattern match counts or
+    the chained redaction, value-checked."""
+    from patapsco_ray.functions.pii import PII_PATTERNS
+
+    full = ("d.text || ' contact user' || CAST(d.doc_id AS VARCHAR) || "
+            "'@example.com call +1 555-123-' || "
+            "lpad(CAST(d.doc_id % 10000 AS VARCHAR), 4, '0') || "
+            "' ssn 123-45-6789'")
+    if mode == "counts":
+        cols = ", ".join(
+            f"CAST(len(regexp_extract_all(t.full, '{pat}')) AS BIGINT)"
+            f" AS n_{name}"
+            for name, pat, _rep in PII_PATTERNS)
+        return (f"WITH t AS (SELECT d.doc_id, {full} AS full "
+                f"FROM documents d) "
+                f"SELECT t.doc_id, {cols} FROM t")
+    expr = "t.full"
+    for _name, pat, rep in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    return (f"WITH t AS (SELECT d.doc_id, {full} AS full "
+            f"FROM documents d) "
+            f"SELECT t.doc_id, {expr} AS text FROM t")
+
+
 def _norm_report_sql() -> str:
     """VALUES oracle of the frozen NORM_EXPECTED counters (labels
     rendered with chr() so control chars survive)."""
@@ -1221,6 +1295,45 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                   b.embedding::DOUBLE[]) >= 0.4""",
         "rm3_topk": _rm3_sql(),
+        "repetition_signals": f"""
+            WITH toks AS ({_TOKS}),
+            tf AS (SELECT doc_id, term, count(*) AS c
+                   FROM toks GROUP BY doc_id, term),
+            mx AS (SELECT doc_id, max(c) AS m, sum(c) AS nt
+                   FROM tf GROUP BY doc_id),
+            tl AS (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '),
+                                 x -> x <> '') AS t
+                   FROM documents),
+            pos AS (SELECT doc_id, unnest(list_transform(
+                      range(1, len(t)), i -> t[i] || chr(1) || t[i+1]))
+                      AS g
+                    FROM tl WHERE len(t) >= 2),
+            agg AS (SELECT doc_id, count(*) AS np, count(DISTINCT g) AS nd
+                    FROM pos GROUP BY doc_id)
+            SELECT d.doc_id,
+              CAST(COALESCE(mx.nt, 0) AS BIGINT) AS n_tokens,
+              CAST(FLOOR(COALESCE(mx.m * 1.0 / mx.nt, 0.0) * 1000000
+                   + 0.5) AS BIGINT) AS top_token_frac_1e6,
+              CAST(FLOOR(COALESCE((agg.np - agg.nd) * 1.0 / agg.np, 0.0)
+                   * 1000000 + 0.5) AS BIGINT) AS dup_ngram_frac_1e6
+            FROM documents d
+            LEFT JOIN mx USING (doc_id)
+            LEFT JOIN agg USING (doc_id)""",
+        "pii_counts": _pii_sql("counts"),
+        "redact_pii": _pii_sql("redact"),
+        "chunk_documents": """
+            WITH toks AS (SELECT doc_id,
+                list_filter(string_split(lower(text), ' '), x -> x <> '')
+                  AS t FROM documents),
+            c AS (SELECT doc_id, t, i.range AS ci
+                  FROM toks CROSS JOIN range(64) i
+                  WHERE i.range * 12 < len(t))
+            SELECT doc_id, CAST(ci AS BIGINT) AS chunk_index,
+              CAST(ci * 12 AS BIGINT) AS start_token,
+              CAST(LEAST(16, len(t) - ci * 12) AS BIGINT) AS n_tokens,
+              array_to_string(t[ci*12+1 : ci*12+16], ' ') AS chunk_text
+            FROM c""",
         "normalization_report": _norm_report_sql(),
         # winnowing with w=1 selects every shingle hash: n_selected ==
         # distinct 3-shingle count, n_shingles == shingle positions

@@ -174,7 +174,7 @@ def run_headline(num_cpus: int, index_dir: str) -> dict:
 def run_sf_ops(sf_dir: str) -> dict:
     """Training-data operator timings over the driver's sf tables.
 
-    Best-of-N (BENCH_OPS_REPEATS, default 2): the first call of a query
+    Best-of-N (BENCH_OPS_REPEATS, default 3): the first call of a query
     pays actor-pool spin-up and import cost, which dominated the
     round-2 "regressions" (token_counts 5.1 s cold vs 0.7 s warm at
     identical sf/cpus — box noise + cold start, not engine).
@@ -202,7 +202,7 @@ def run_sf_ops(sf_dir: str) -> dict:
         "window_agg",
         "sessionize",
     ]
-    repeats = int(os.environ.get("BENCH_OPS_REPEATS", "2"))
+    repeats = int(os.environ.get("BENCH_OPS_REPEATS", "3"))
     out = {}
     for name in picks:
         best = float("inf")

@@ -17,7 +17,10 @@ Ray Data transform:
 """
 
 from .textstats import (token_counts, quality_signals, quality_filter,
-                        language_id, fingerprints, winnow_fingerprints)
+                        language_id, fingerprints, winnow_fingerprints,
+                        repetition_signals)
+from .pii import pii_counts, redact_pii
+from .chunking import chunk_documents
 from .urls import canonicalize_url, canonicalize_urls, url_duplicates
 from .dedup import (
     exact_duplicates,
@@ -42,6 +45,10 @@ __all__ = [
     "language_id",
     "fingerprints",
     "winnow_fingerprints",
+    "repetition_signals",
+    "pii_counts",
+    "redact_pii",
+    "chunk_documents",
     "exact_duplicates",
     "exact_duplicate_pairs",
     "connected_components",

@@ -262,6 +262,86 @@ def fingerprints(
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def repetition_signals(
+    ds: ray.data.Dataset,
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    ngram: int = 2,
+) -> ray.data.Dataset:
+    """Within-document repetition metrics (the Gopher / RefinedWeb
+    quality-filter family): (id, n_tokens, top_token_frac_1e6,
+    dup_ngram_frac_1e6).
+
+    top_token_frac = max token frequency / n_tokens (0 for empty
+    docs); dup_ngram_frac = (positions - distinct) / positions over
+    strict ``ngram``-token windows (0 when the doc is shorter than
+    ``ngram``). Fully vectorized: token hashes + lexsort run-lengths,
+    no Python loop over rows.
+    """
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        texts = tbl.column(text_column)
+        flat, parent, nonempty = _tokens(texts)
+        n = tbl.num_rows
+        counts = _seg_count(parent, nonempty, n)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        th = hash_strings(flat, seed=7)[nonempty] if parent.size else \
+            np.empty(0, dtype=np.uint64)
+        # max token frequency per doc: sort (doc, hash), run lengths
+        tdoc = np.repeat(np.arange(n), counts)
+        max_tf = np.zeros(n, dtype=np.int64)
+        if th.size:
+            order = np.lexsort((th, tdoc))
+            d_s, h_s = tdoc[order], th[order]
+            brk = np.flatnonzero(
+                np.concatenate([[True], (d_s[1:] != d_s[:-1])
+                                | (h_s[1:] != h_s[:-1])]))
+            rl = np.diff(np.concatenate([brk, [len(d_s)]]))
+            np.maximum.at(max_tf, d_s[brk], rl)
+        # strict ngram windows (no short-doc fallback)
+        n_pos = np.maximum(counts - ngram + 1, 0)
+        n_distinct = np.zeros(n, dtype=np.int64)
+        nwin = max(len(th) - ngram + 1, 0)
+        if nwin > 0:
+            from .hashing import splitmix64
+
+            with np.errstate(over="ignore"):
+                acc = np.zeros(nwin, dtype=np.uint64)
+                for j in range(ngram):
+                    mult = splitmix64(
+                        np.array([j + 1], dtype=np.uint64))[0]
+                    acc = splitmix64(acc ^ (th[j:j + nwin] * mult))
+            starts = np.arange(nwin, dtype=np.int64)
+            doc_of = np.searchsorted(offsets, starts, side="right") - 1
+            valid = starts + ngram <= offsets[doc_of + 1]
+            wh, wdoc = acc[valid], doc_of[valid]
+            if wh.size:
+                order = np.lexsort((wh, wdoc))
+                d_s, h_s = wdoc[order], wh[order]
+                first = np.concatenate(
+                    [[True], (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])])
+                n_distinct = np.bincount(
+                    d_s[first], minlength=n).astype(np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            top_frac = np.where(counts > 0, max_tf / np.maximum(counts, 1),
+                                0.0)
+            dup_frac = np.where(
+                n_pos > 0, (n_pos - n_distinct) / np.maximum(n_pos, 1), 0.0)
+        return pa.table({
+            id_column: tbl.column(id_column),
+            "n_tokens": pa.array(counts),
+            "top_token_frac_1e6": pa.array(_scaled_i64(top_frac)),
+            "dup_ngram_frac_1e6": pa.array(_scaled_i64(dup_frac)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _scaled_i64(x: np.ndarray) -> np.ndarray:
+    return np.floor(x * 1e6 + 0.5).astype(np.int64)
+
+
 def winnow_fingerprints(
     ds: ray.data.Dataset,
     *,

@@ -259,19 +259,26 @@ def normalization_report(ds, text_column: str = "text"):
     def partial(tbl: pa.Table) -> pa.Table:
         import collections
 
+        import numpy as np
         import pyarrow.compute as pc
 
         texts = pc.cast(tbl.column(text_column), pa.string())
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
         total: collections.Counter[str] = collections.Counter()
-        # only rows normalization would alter pay the difflib cost:
-        # clean-ASCII rows normalize to themselves modulo whitespace
-        # collapse, which compare_strings never reports (ws maps to ws)
-        for s in texts.to_pylist():
-            if s is None:
-                continue
-            out = pre_normalize(s)
-            if out != s:
-                total += compare_strings(s, out)
+        # vectorized gate: pre_normalize_batch (Arrow RE2 fast path,
+        # byte-identical to the per-string chain) finds the rows
+        # normalization actually changes; only THOSE pay the per-row
+        # difflib cost — on clean web text the batch is pure Arrow
+        # kernels and the Python loop below runs over ~zero rows
+        normed = pre_normalize_batch(texts)
+        changed = pc.fill_null(pc.invert(pc.equal(texts, normed)), False)
+        for i in np.flatnonzero(
+                np.asarray(changed.to_numpy(zero_copy_only=False),
+                           dtype=bool)):
+            s = texts[int(i)].as_py()
+            out = normed[int(i)].as_py()
+            total += compare_strings(s, out)
         if not total:
             return schema.empty_table()
         return pa.table({
