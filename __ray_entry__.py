@@ -639,6 +639,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["url_duplicates"] = url_dedup
 
+    def hosts(sf: str):
+        # synthesized URLs exercising userinfo / WWW / mixed case /
+        # explicit port; the oracle rebuilds the same URLs and runs the
+        # identical RE2 host-normalization chain in DuckDB
+        from patapsco_ray.functions import host_stats
+
+        def add_url(t: pa.Table) -> pa.Table:
+            i64 = pa.compute.cast(t.column("doc_id"), pa.int64())
+            d = np.asarray(i64.to_numpy(zero_copy_only=False))
+
+            def s(x):
+                return pa.compute.cast(pa.array(x), pa.string())
+
+            url = pa.compute.binary_join_element_wise(
+                "https://u", s(d % 7), "@WWW.h", s(d % 23),
+                ".Example.org:8443/p/", s(d % 50), "")
+            return pa.table({"url": url, "text": t.column("text")})
+
+        ds = _docs(sf).select_columns(["doc_id", "text"]).map_batches(
+            add_url, batch_format="pyarrow")
+        return host_stats(ds, url_column="url", text_column="text")
+
+    q["host_stats"] = hosts
+
     # --- event-stream operators (windowed/sessionized aggregates) ---
     def _events(sf: str):
         return _read_clean(f"{sf}/events.parquet")
@@ -1196,6 +1220,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS keep_id, count(*) AS n_copies
             FROM documents GROUP BY doc_id % 50, doc_id % 7""",
         "language_id": _language_id_sql(),
+        "host_stats": r"""
+            WITH u AS (SELECT d.text,
+                'https://u' || CAST(d.doc_id % 7 AS VARCHAR)
+                || '@WWW.h' || CAST(d.doc_id % 23 AS VARCHAR)
+                || '.Example.org:8443/p/'
+                || CAST(d.doc_id % 50 AS VARCHAR) AS url
+              FROM documents d),
+            h AS (SELECT regexp_replace(regexp_replace(regexp_replace(
+                    lower(regexp_extract(url, '://([^/?#]+)', 1)),
+                    '^.*@', ''), ':[0-9]+$', ''), '^www\.', '') AS host,
+                  text FROM u)
+            SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(length(text)) AS BIGINT) AS total_chars
+            FROM h GROUP BY host""",
         "window_agg": """
             SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
               event_type, count(*) AS n_events,

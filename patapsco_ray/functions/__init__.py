@@ -21,7 +21,8 @@ from .textstats import (token_counts, quality_signals, quality_filter,
                         repetition_signals)
 from .pii import pii_counts, redact_pii
 from .chunking import chunk_documents
-from .urls import canonicalize_url, canonicalize_urls, url_duplicates
+from .urls import (canonicalize_url, canonicalize_urls, url_duplicates,
+                   extract_hosts, host_stats)
 from .dedup import (
     exact_duplicates,
     exact_duplicate_pairs,
@@ -42,6 +43,8 @@ __all__ = [
     "canonicalize_url",
     "canonicalize_urls",
     "url_duplicates",
+    "extract_hosts",
+    "host_stats",
     "language_id",
     "fingerprints",
     "winnow_fingerprints",

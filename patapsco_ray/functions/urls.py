@@ -63,6 +63,84 @@ def canonicalize_urls(
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def extract_hosts(col: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """URL column -> normalized host column, pure RE2 kernels (the
+    identical chain runs in the DuckDB oracle): text after ``://`` cut
+    at the first ``/?#``, lowercased, userinfo / port / leading
+    ``www.`` stripped. Empty string when no scheme is present."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(pc.cast(col, pa.string()), "")
+    h = pc.replace_substring_regex(col, r"^[A-Za-z][A-Za-z0-9+.-]*://",
+                                   "\x01", max_replacements=1)
+    # rows that had no scheme keep their original text: blank them
+    had = pc.starts_with(h, "\x01")
+    h = pc.if_else(had, pc.replace_substring(h, "\x01", "",
+                                             max_replacements=1),
+                   pa.scalar("", pa.string()))
+    h = pc.replace_substring_regex(h, r"[/?#].*$", "")
+    h = pc.utf8_lower(h)
+    h = pc.replace_substring_regex(h, r"^.*@", "")
+    h = pc.replace_substring_regex(h, r":[0-9]+$", "")
+    h = pc.replace_substring_regex(h, r"^www\.", "")
+    return h
+
+
+def host_stats(
+    ds: ray.data.Dataset, *, url_column: str = "url",
+    text_column: str | None = "text",
+) -> ray.data.Dataset:
+    """Per-host corpus statistics: (host, n_docs[, total_chars]).
+
+    The 100-TB shape: per-batch PARTIAL aggregation (Arrow group_by
+    inside the map stage) so only one row per (batch, host) crosses
+    the shuffle, then a global ``groupby(host).sum`` — the standard
+    combiner pattern; host cardinality, not corpus size, bounds the
+    exchange."""
+    import pyarrow.compute as pc
+
+    has_text = text_column is not None
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        host = extract_hosts(tbl.column(url_column))
+        cols = {"host": host}
+        if has_text:
+            txt = pc.fill_null(pc.cast(tbl.column(text_column),
+                                       pa.string()), "")
+            cols["chars"] = pc.cast(pc.utf8_length(txt), pa.int64())
+        t = pa.table(cols)
+        aggs = [([], "count_all")] + ([("chars", "sum")] if has_text
+                                      else [])
+        g = t.group_by(["host"]).aggregate(aggs)
+        out = {"host": g.column("host"),
+               "n_docs": pc.cast(g.column("count_all"), pa.int64())}
+        if has_text:
+            out["total_chars"] = pc.cast(g.column("chars_sum"), pa.int64())
+        return pa.table(out)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    gb = parts.groupby("host")
+    agg = gb.sum(["n_docs", "total_chars"]) if has_text else \
+        gb.sum(["n_docs"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("host", pa.string()), ("n_docs", pa.int64())]
+            + ([("total_chars", pa.int64())] if has_text else []))
+        if t.num_rows == 0:  # schema-less empty shuffle partitions
+            return schema.empty_table()
+        cols = {"host": t.column("host"),
+                "n_docs": t.column("sum(n_docs)")}
+        if has_text:
+            cols["total_chars"] = t.column("sum(total_chars)")
+        return pa.table(cols, schema=schema)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def url_duplicates(
     ds: ray.data.Dataset, *, url_column: str = "url",
     id_column: str = "doc_id",

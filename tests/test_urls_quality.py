@@ -74,3 +74,44 @@ def test_quality_filter_vs_sql(ray_session):
     assert len(got) == len(want) > 0
     assert (got["doc_id"].values == want["doc_id"].values).all()
     assert (got["n_tokens"].values == want["n_tokens"].values).all()
+
+
+def test_extract_hosts_edge_cases(ray_session):
+    import pyarrow as pa
+
+    from patapsco_ray.functions import extract_hosts
+
+    urls = pa.array([
+        "https://WWW.Example.ORG/path",        # www + case
+        "http://user:pw@site.com:8080/x?y#z",  # userinfo + port
+        "https://example.com",                 # bare host
+        "ftp://Files.example.net:21/a",        # other scheme
+        "no-scheme.example.com/path",          # no scheme -> empty
+        "https://host.com:443/",               # port stripped (any port)
+        None,                                  # null -> empty
+        "",                                    # empty -> empty
+    ])
+    got = extract_hosts(urls).to_pylist()
+    assert got == ["example.org", "site.com", "example.com",
+                   "files.example.net", "", "host.com", "", ""]
+
+
+def test_host_stats(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from patapsco_ray.functions import host_stats
+
+    tbl = pa.table({
+        "url": ["https://a.com/1", "https://WWW.A.com/2", "http://b.org/",
+                "https://a.com:9999/3"],
+        "text": ["xx", "yyy", "z", "wwww"],
+    })
+    got = host_stats(ray.data.from_arrow(tbl)).to_pandas()
+    got = got.sort_values("host").reset_index(drop=True)
+    assert got["host"].tolist() == ["a.com", "b.org"]
+    assert got["n_docs"].tolist() == [3, 1]
+    assert got["total_chars"].tolist() == [2 + 3 + 4, 1]
+    # url-only mode
+    lo = host_stats(ray.data.from_arrow(tbl), text_column=None).to_pandas()
+    assert sorted(lo.columns) == ["host", "n_docs"]
