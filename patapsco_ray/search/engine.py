@@ -486,11 +486,22 @@ class IndexSearcher:
             return []
         if gstats is None:
             gstats = lookup_global_stats(self.index_dir, list(weights))
+        present = [t for t in weights if t in gstats]
+        if not present:
+            return []
         prune = self._resolve_prune(weights, gstats, k)
-        return self._merge_segments(
-            lambda ss: ss.score(weights, self.scorer, gstats, k,
-                                prune=prune), k
-        )
+
+        # fused per-segment load+score: term rows come from the cached
+        # two-phase term_rows reader (not a fresh file open per
+        # segment), and _merge_segments threads the tasks 8-way on
+        # many-segment indexes — the single-shot analogue of the
+        # search_batch protocol
+        def seg_fn(ss):
+            rows = ss.term_rows(present)
+            return ss.score(weights, self.scorer, gstats, k,
+                            prune=prune, preloaded_rows=rows)
+
+        return self._merge_segments(seg_fn, k)
 
     # WAND engages automatically (prune="auto") only when the query has
     # a selective term: block-max pruning wins when a high-idf term
@@ -533,18 +544,33 @@ class IndexSearcher:
         )
 
     def _merge_segments(self, seg_fn, k: int) -> list[dict]:
-        candidates: list[tuple] = []
-        for seg in self.manifest["segments"]:
+        segments = self.manifest["segments"]
+
+        def run(seg) -> list[tuple]:
             ss = self._segment(seg)
             ords, scores = seg_fn(ss)
             if ords.size == 0:
-                continue
+                return []
             doc_ids = ss.doc_ids_for(ords)
             base = seg["base"]
-            candidates.extend(
-                (-float(s), base + int(o), d)
-                for s, o, d in zip(scores, ords, doc_ids)
-            )
+            return [(-float(s), base + int(o), d)
+                    for s, o, d in zip(scores, ords, doc_ids)]
+
+        if len(segments) > 4:
+            # threaded per-segment scoring for single-shot queries:
+            # the dominant cold cost on many-segment indexes is the
+            # per-segment parquet IO (norms + term rows), which
+            # releases the GIL — same 8-way protocol as search_batch.
+            # Thread-safety: each task touches its OWN segment's
+            # scorer (distinct cache key), so the only shared mutation
+            # is the dict insert, atomic under the GIL.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(8) as ex:
+                parts = list(ex.map(run, segments))
+        else:
+            parts = [run(seg) for seg in segments]
+        candidates = [c for p in parts for c in p]
         # merge per-segment top-k: (score desc, global ordinal asc) —
         # Lucene's docid-ascending tie-break across segment bases
         top = heapq.nsmallest(k, candidates)
