@@ -441,6 +441,27 @@ def build_index_shuffle(
         shutil.rmtree(index_dir)
     index_dir.mkdir(parents=True)
 
+    if concurrency is None:
+        avail = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = max(1, avail)
+    pool = concurrency if isinstance(concurrency, int) else concurrency[1]
+    # adaptive block size: a 250k default at 3M rows yields only 12
+    # blocks — most of a 32-slot pool would idle. Shrink blocks (never
+    # below 25k rows) until every slot sees >= 2 blocks; parquet
+    # footer row counts make the total a metadata-only read.
+    total_rows = 0
+    flat_paths = ([paths] if isinstance(paths, (str, bytes)) else
+                  list(paths))
+    import pathlib as _pl
+
+    for p in flat_paths:
+        pp = _pl.Path(p)
+        files = sorted(pp.glob("*.parquet")) if pp.is_dir() else [pp]
+        for f in files:
+            total_rows += pq.ParquetFile(f).metadata.num_rows
+    if total_rows:
+        rows_per_block = max(
+            25_000, min(rows_per_block, total_rows // (2 * pool) or 1))
     blocks = plan_segments(paths, rows_per_block)
     base = 0
     items = []
@@ -449,10 +470,8 @@ def build_index_shuffle(
                       "row_groups": d["row_groups"], "base": base})
         base += d["rows"]
 
-    if concurrency is None:
-        avail = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = max(1, min(len(items), avail))
     if isinstance(concurrency, int):
+        concurrency = max(1, min(len(items), concurrency))
         # fixed pool — autoscaling churn measured 2x slower (build.py)
         concurrency = (concurrency, concurrency)
 
