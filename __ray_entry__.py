@@ -663,6 +663,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["host_stats"] = hosts
 
+    def sampled(sf: str):
+        # deterministic hash sampling; the oracle re-derives the
+        # splitmix64 hash bit-exactly in SQL (HUGEINT split-multiply)
+        # so the selected id SET is value-checked
+        from patapsco_ray.functions import sample_by_hash
+
+        return sample_by_hash(
+            _docs(sf).select_columns(["doc_id"]), rate=0.35, seed=9)
+
+    q["sample_by_hash"] = sampled
+
     # --- event-stream operators (windowed/sessionized aggregates) ---
     def _events(sf: str):
         return _read_clean(f"{sf}/events.parquet")
@@ -1067,6 +1078,13 @@ def _pii_sql(mode: str) -> str:
             f"SELECT t.doc_id, {expr} AS text FROM t")
 
 
+def _sample_sql() -> str:
+    from patapsco_ray.functions.sampling import sample_by_hash_sql
+
+    pred = sample_by_hash_sql("doc_id", rate=0.35, seed=9)
+    return f"SELECT doc_id FROM documents WHERE {pred}"
+
+
 def _norm_report_sql() -> str:
     """VALUES oracle of the frozen NORM_EXPECTED counters (labels
     rendered with chr() so control chars survive)."""
@@ -1220,6 +1238,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS keep_id, count(*) AS n_copies
             FROM documents GROUP BY doc_id % 50, doc_id % 7""",
         "language_id": _language_id_sql(),
+        "sample_by_hash": _sample_sql(),
         "host_stats": r"""
             WITH u AS (SELECT d.text,
                 'https://u' || CAST(d.doc_id % 7 AS VARCHAR)

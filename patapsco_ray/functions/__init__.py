@@ -21,6 +21,7 @@ from .textstats import (token_counts, quality_signals, quality_filter,
                         repetition_signals)
 from .pii import pii_counts, redact_pii
 from .chunking import chunk_documents
+from .sampling import sample_by_hash
 from .urls import (canonicalize_url, canonicalize_urls, url_duplicates,
                    extract_hosts, host_stats)
 from .dedup import (
@@ -52,6 +53,7 @@ __all__ = [
     "pii_counts",
     "redact_pii",
     "chunk_documents",
+    "sample_by_hash",
     "exact_duplicates",
     "exact_duplicate_pairs",
     "connected_components",

@@ -1,0 +1,119 @@
+"""Deterministic hash-based sampling.
+
+``sample_by_hash`` keeps a row iff ``splitmix64(uint64(key) ^ salt) <
+floor(rate * 2^64)`` — the standard reproducible-subset primitive for
+training-data pipelines: the decision depends only on (key, seed,
+rate), so re-runs, resumed runs and different cluster shapes select
+the SAME rows, and disjoint seeds give independent samples. One
+``map_batches`` stage, no shuffle, no RNG state.
+
+splitmix64 is pure 64-bit arithmetic, so the driver oracle re-derives
+the EXACT hash in DuckDB SQL (wrapping multiplication via HUGEINT
+split-multiply — see ``splitmix64_sql``) and the sampled id set is
+value-checked, not merely count-checked.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from .hashing import splitmix64, stable_hash_strings
+
+_U64 = np.uint64
+_GOLDEN = 0x9E3779B97F4A7C15
+
+
+def _threshold(rate: float) -> int:
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    return min(int(rate * float(2**64)), 2**64)
+
+
+def _salt(seed: int) -> int:
+    return int(splitmix64(np.array([seed], dtype=_U64))[0])
+
+
+def sample_by_hash(
+    ds: ray.data.Dataset,
+    *,
+    rate: float,
+    key_column: str = "doc_id",
+    seed: int = 0,
+) -> ray.data.Dataset:
+    """Keep rows whose key hashes under the rate threshold.
+
+    Integer keys hash as ``splitmix64(uint64(key) ^ splitmix64(seed))``
+    (SQL-reproducible); string keys go through the version-stable
+    string hash first (same determinism guarantees, not expressible in
+    SQL)."""
+    thr = _threshold(rate)
+    salt = _salt(seed)
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        col = tbl.column(key_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_integer(col.type):
+            keys = np.asarray(col.to_numpy(zero_copy_only=False)
+                              ).astype(_U64)
+        else:
+            keys = stable_hash_strings(col.cast(pa.string()))
+        with np.errstate(over="ignore"):
+            h = splitmix64(keys ^ _U64(salt))
+        if thr >= 2**64:
+            mask = np.ones(len(h), dtype=bool)
+        else:
+            mask = h < _U64(thr)
+        return tbl.filter(pa.array(mask))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def splitmix64_sql(expr: str) -> str:
+    """DuckDB expression computing splitmix64 of a non-negative BIGINT
+    expression, bit-exact with :func:`..hashing.splitmix64`.
+
+    All arithmetic runs in HUGEINT mod 2^64; the wrapping 64x64
+    multiply splits the left operand into 32-bit halves so no
+    intermediate exceeds 2^96 (HUGEINT holds 127 bits). XOR-shift
+    steps use integer division for the right shift and the identity
+    a XOR b = a + b - 2*(a AND b) is avoided by DuckDB's native
+    xor() on BIGINT via back-casting — instead we stay in HUGEINT and
+    express XOR of the shifted value with bit arithmetic-free
+    ``xor(CAST(... AS UBIGINT), ...)`` on 64-bit-safe values."""
+    M = "18446744073709551616"  # 2^64
+    H = "4294967296"            # 2^32
+
+    def mod(e: str) -> str:
+        return f"(({e}) % {M}::HUGEINT)"
+
+    def xor_shift(e: str, s: int) -> str:
+        # values are already < 2^64: cast to UBIGINT for xor/shift
+        return (f"CAST(xor(CAST({e} AS UBIGINT), "
+                f"CAST(({e}) // {1 << s} AS UBIGINT)) AS HUGEINT)")
+
+    def mulmod(a: str, c: int) -> str:
+        return mod(f"(({a}) % {H}) * {c}::HUGEINT "
+                   f"+ (((({a}) // {H}) * {c}::HUGEINT) % {H}) * {H}")
+
+    z = mod(f"CAST({expr} AS HUGEINT) + {_GOLDEN}::HUGEINT")
+    z = f"({xor_shift(z, 30)})"
+    z = mulmod(z, 0xBF58476D1CE4E5B9)
+    z = f"({xor_shift(z, 27)})"
+    z = mulmod(z, 0x94D049BB133111EB)
+    z = f"({xor_shift(z, 31)})"
+    return z
+
+
+def sample_by_hash_sql(key_expr: str, rate: float, seed: int = 0) -> str:
+    """The WHERE predicate matching :func:`sample_by_hash` for integer
+    keys (shared by the driver oracle)."""
+    thr = _threshold(rate)
+    salt = _salt(seed)
+    hashed = splitmix64_sql(
+        f"CAST(xor(CAST({key_expr} AS UBIGINT), "
+        f"CAST({salt} AS UBIGINT)) AS HUGEINT)")
+    return f"({hashed}) < {thr}::HUGEINT"

@@ -84,3 +84,55 @@ def test_repetition_signals(ray_session):
     assert got.loc[3, "top_token_frac_1e6"] == 1_000_000
     assert got.loc[3, "dup_ngram_frac_1e6"] == 0
     assert got.loc[4, "dup_ngram_frac_1e6"] == 600_000
+
+
+def test_sample_by_hash(ray_session):
+    import numpy as np
+
+    from patapsco_ray.functions import sample_by_hash
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": list(range(2000)),
+        "text": ["x"] * 2000,
+    }))
+    s35 = sample_by_hash(ds, rate=0.35, seed=9).to_pandas()
+    # deterministic: same inputs -> same set
+    again = sample_by_hash(ds, rate=0.35, seed=9).to_pandas()
+    assert s35["doc_id"].tolist() == again["doc_id"].tolist()
+    # rate ~ observed fraction (binomial, 2000 trials)
+    assert 0.30 < len(s35) / 2000 < 0.40
+    # nested: lower rate with same seed is a subset
+    s10 = sample_by_hash(ds, rate=0.10, seed=9).to_pandas()
+    assert set(s10["doc_id"]) <= set(s35["doc_id"])
+    # different seed -> roughly independent selection
+    other = sample_by_hash(ds, rate=0.35, seed=10).to_pandas()
+    inter = len(set(other["doc_id"]) & set(s35["doc_id"])) / 2000
+    assert 0.06 < inter < 0.20  # ~0.35^2 = 0.1225
+    # rate edges
+    assert len(sample_by_hash(ds, rate=0.0, seed=1).to_pandas()) == 0
+    assert len(sample_by_hash(ds, rate=1.0, seed=1).to_pandas()) == 2000
+    # string keys route through the stable string hash
+    sds = ray.data.from_arrow(pa.table({
+        "doc_id": [f"u{i}" for i in range(1000)]}))
+    st = sample_by_hash(sds, rate=0.5, seed=3).to_pandas()
+    assert 0.43 < len(st) / 1000 < 0.57
+    with pytest.raises(ValueError):
+        sample_by_hash(ds, rate=1.5)
+
+
+def test_splitmix64_sql_bit_exact():
+    import duckdb
+    import numpy as np
+
+    from patapsco_ray.functions.hashing import splitmix64
+    from patapsco_ray.functions.sampling import splitmix64_sql
+
+    keys = np.array([0, 1, 42, 499, 2**31, 2**62, 2**63 - 1],
+                    dtype=np.uint64)
+    want = splitmix64(keys)
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT CAST({splitmix64_sql('k')} AS UBIGINT) "
+        "FROM (SELECT unnest(?) AS k)",
+        [[int(x) for x in keys]]).fetchall()
+    assert (np.array([g[0] for g in got], dtype=np.uint64) == want).all()
