@@ -88,17 +88,11 @@ class _SegmentSearcher:
                  **searcher_kwargs):
         self.searcher = IndexSearcher(index_dir, **searcher_kwargs)
         self.k = k
-        # queries are broadcast once via ray.put, not reshipped per task
-        qlist = ray.get(queries_ref)
-        self.qterms = []
-        for qid, text in qlist:
-            terms = process_query(text, self.searcher.processor)
-            counts: dict[str, int] = {}
-            for t in terms:
-                counts[t] = counts.get(t, 0) + 1
-            self.qterms.append((qid, counts))
-        all_terms = sorted({t for _, c in self.qterms for t in c})
-        self.gstats = lookup_global_stats(index_dir, all_terms)
+        # processed query terms + global stats are computed ONCE on the
+        # driver and broadcast via ray.put — re-deriving them per actor
+        # would repeat the query-processing chain and the global-stats
+        # pushdown read n_actors times
+        self.qterms, self.gstats = ray.get(queries_ref)
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         out_q, out_d, out_o, out_s = [], [], [], []
@@ -142,8 +136,18 @@ def search_dataset_by_segment(
         ))
     else:
         qlist = list(queries)
-    qref = ray.put(qlist)
-    manifest = IndexSearcher(index_dir).manifest
+    driver_searcher = IndexSearcher(index_dir, **searcher_kwargs)
+    qterms = []
+    for qid, text in qlist:
+        terms = process_query(text, driver_searcher.processor)
+        counts: dict[str, int] = {}
+        for t in terms:
+            counts[t] = counts.get(t, 0) + 1
+        qterms.append((qid, counts))
+    all_terms = sorted({t for _, c in qterms for t in c})
+    gstats = lookup_global_stats(index_dir, all_terms)
+    qref = ray.put((qterms, gstats))
+    manifest = driver_searcher.manifest
     seg_ds = ray.data.from_items(
         [{"seg_index": i} for i in range(len(manifest["segments"]))]
     )
