@@ -201,6 +201,10 @@ def run_sf_ops(sf_dir: str) -> dict:
         "cosine_topk",
         "window_agg",
         "sessionize",
+        "repetition_signals",
+        "pii_counts",
+        "chunk_documents",
+        "sample_by_hash",
     ]
     repeats = int(os.environ.get("BENCH_OPS_REPEATS", "3"))
     out = {}

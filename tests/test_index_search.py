@@ -353,3 +353,23 @@ def test_global_terms_multishard_pruning(ray_session, tmp_path, monkeypatch):
     got = engine_mod.lookup_global_stats(idx, [one])
     assert one in got
     assert len(calls) == 1, calls
+
+
+def test_torn_global_terms_tmp_ignored(ray_session, tmp_path):
+    """A crashed/retried shard write leaves only a .tmp file (writes
+    are tmp+rename): lookup and search must ignore it."""
+    import pathlib
+
+    inp = tmp_path / "inp"
+    inp.mkdir()
+    pq.write_table(
+        pa.table({"url": ["d1", "d2"], "text": ["hello world", "hello"]}),
+        inp / "docs.parquet")
+    build_index(str(inp), str(tmp_path / "idx"), text_config=CFG,
+                html_column=None)
+    gt = pathlib.Path(tmp_path / "idx" / "global_terms")
+    torn = gt / "part-deadbeef.parquet.tmp"
+    torn.write_bytes(b"torn parquet bytes")
+    s = IndexSearcher(tmp_path / "idx", text_config=CFG)
+    hits = s.search("hello", k=10)
+    assert [h["doc_id"] for h in hits] and len(hits) == 2
