@@ -378,6 +378,58 @@ def _minhash_sigs(sh_hashes: np.ndarray, offsets: np.ndarray, num_perm: int,
     return sigs
 
 
+def _minhash_band_buckets(tbl: pa.Table, id_column: str, text_column: str,
+                          shingle_size: int, num_perm: int, bands: int,
+                          seed: int, include_sig: bool) -> pa.Table:
+    """Per-batch: tokenize -> shingle hashes -> minhash sigs -> band
+    bucket rows. ``include_sig=False`` (the shuffle stage) emits ONLY
+    (bucket, id); ``include_sig=True`` (the candidate-verify stage,
+    one row per doc, no band replication) emits (id, sig)."""
+    texts = tbl.column(text_column)
+    flat, parent, nonempty = _tokens(texts)
+    n = tbl.num_rows
+    counts = _seg_count(parent, nonempty, n)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    th = hash_strings(flat, seed=seed)[nonempty] if parent.size else \
+        np.empty(0, dtype=_U64)
+    wh, woff = window_hashes(th, offsets, shingle_size)
+    sigs = _minhash_sigs(wh, woff, num_perm, seed)
+    ids = tbl.column(id_column)
+    if include_sig:
+        return pa.table({
+            "id": ids,
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(sigs.view(np.int64).ravel()), num_perm),
+        })
+    # shingle-less docs (empty / whitespace-only text — e.g. html-only
+    # rows) all share the all-max signature: at web scale they form
+    # one giant degenerate bucket (observed: 149,670 members = the 5%
+    # empty-text rows of a 3M corpus) that the bucket cap then drops
+    # with a warning. They cannot be MEANINGFUL near-dup candidates,
+    # so they emit no LSH rows at all; exact empty-text duplicates
+    # remain findable via exact_duplicates.
+    has_shingles = np.diff(woff) > 0
+    if not has_shingles.all():
+        keep_idx = np.flatnonzero(has_shingles)
+        ids = ids.take(pa.array(keep_idx))
+        sigs = sigs[keep_idx]
+        n = len(keep_idx)
+    rows_per_band = num_perm // bands
+    band_sigs = sigs.reshape(n, bands, rows_per_band)
+    out_bucket = np.empty(n * bands, dtype=_U64)
+    for b in range(bands):
+        acc = combine_hashes(
+            np.full(n, b + 1, dtype=_U64),
+            *[band_sigs[:, b, r] for r in range(rows_per_band)],
+        )
+        out_bucket[b::bands] = acc
+    rep_ids = ids.take(pa.array(np.repeat(np.arange(n), bands)))
+    return pa.table({
+        "bucket": pa.array(out_bucket.view(np.int64)),
+        "id": rep_ids,
+    })
+
+
 def minhash_lsh_pairs(
     ds: ray.data.Dataset,
     *,
@@ -389,60 +441,42 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     max_bucket: int = 2000,
     seed: int = 17,
+    max_candidate_ids: int = 5_000_000,
 ) -> ray.data.Dataset:
-    """MinHash+LSH near-duplicate candidate pairs.
+    """MinHash+LSH near-duplicate pairs.
 
     Returns (id_a, id_b, est_jaccard_1e6): pairs sharing at least one
     LSH band bucket whose signature agreement >= threshold. Buckets
-    larger than ``max_bucket`` are skipped (head-bucket cap). Ids are
-    carried as strings in the output (pair identity, not a join key).
+    larger than ``max_bucket`` are skipped with a WARNING (head-bucket
+    cap).
+
+    100-TB dataflow: the bucket shuffle moves ONLY (bucket, id) rows —
+    ~24 B x bands per doc, NOT the num_perm x 8 B signature replicated
+    per band (the naive layout ships ~16 KB/doc at the defaults and
+    was measured unrunnable at 3M docs). Verification then recomputes
+    signatures ONCE per CANDIDATE id (near-dup candidates are a small
+    fraction of the corpus): candidate ids are broadcast via
+    ``ray.put`` to filter the corpus, and the (id, sig) rows meet the
+    pair rows through two groupbys — no joins, nothing driver-side
+    beyond the candidate-id array (capped at ``max_candidate_ids``,
+    raising rather than silently collecting an unbounded set).
     """
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
-    rows_per_band = num_perm // bands
 
-    def sig_stage(tbl: pa.Table) -> pa.Table:
-        texts = tbl.column(text_column)
-        flat, parent, nonempty = _tokens(texts)
-        n = tbl.num_rows
-        counts = _seg_count(parent, nonempty, n)
-        offsets = np.concatenate([[0], np.cumsum(counts)])
-        th = hash_strings(flat, seed=seed)[nonempty] if parent.size else \
-            np.empty(0, dtype=_U64)
-        wh, woff = window_hashes(th, offsets, shingle_size)
-        sigs = _minhash_sigs(wh, woff, num_perm, seed)
-        # band buckets: mix of (band index, band signature rows)
-        band_sigs = sigs.reshape(n, bands, rows_per_band)
-        ids = tbl.column(id_column)
-        out_bucket = np.empty(n * bands, dtype=_U64)
-        for b in range(bands):
-            acc = combine_hashes(
-                np.full(n, b + 1, dtype=_U64),
-                *[band_sigs[:, b, r] for r in range(rows_per_band)],
-            )
-            out_bucket[b::bands] = acc
-        rep_ids = ids.take(pa.array(np.repeat(np.arange(n), bands)))
-        sig_list = pa.FixedSizeListArray.from_arrays(
-            pa.array(np.repeat(sigs.view(np.int64), bands, axis=0).ravel()),
-            num_perm,
-        )
-        return pa.table(
-            {
-                "bucket": pa.array(out_bucket.view(np.int64)),
-                "id": rep_ids,
-                "sig": sig_list,
-            }
-        )
+    sig_kwargs = dict(id_column=id_column, text_column=text_column,
+                      shingle_size=shingle_size, num_perm=num_perm,
+                      bands=bands, seed=seed)
 
     buckets = ds.map_batches(
-        sig_stage, batch_format="pyarrow", zero_copy_batch=True)
+        lambda t: _minhash_band_buckets(t, include_sig=False, **sig_kwargs),
+        batch_format="pyarrow", zero_copy_batch=True)
 
     def bucket_pairs(grp: pa.Table) -> pa.Table:
         m = grp.num_rows
         id_type = grp.column("id").type
         empty = pa.table({"id_a": pa.array([], id_type),
-                          "id_b": pa.array([], id_type),
-                          "est_jaccard_1e6": pa.array([], pa.int64())})
+                          "id_b": pa.array([], id_type)})
         if m < 2:
             return empty
         if m > max_bucket:
@@ -450,47 +484,154 @@ def minhash_lsh_pairs(
                 "minhash_lsh_pairs: dropping LSH bucket with %d members "
                 "> max_bucket=%d (candidate recall reduced)", m, max_bucket)
             return empty
-        ids = grp.column("id").to_pylist()
-        sigs = np.asarray(
-            grp.column("sig").combine_chunks().flatten().to_numpy(
-                zero_copy_only=False)
-        ).reshape(m, -1).view(_U64)
-        order = sorted(range(m), key=lambda i: ids[i])
-        ids = [ids[i] for i in order]
-        sigs = sigs[np.array(order)]
-        # drop same-id repeats (a doc can land in a bucket via >1 band)
-        keep = [i for i in range(m) if i == 0 or ids[i] != ids[i - 1]]
-        ids = [ids[i] for i in keep]
-        sigs = sigs[keep]
-        m = len(ids)
+        order = pc.sort_indices(grp.column("id"))
+        ids = grp.column("id").take(order).combine_chunks()
+        # drop same-id repeats (a doc can collide via >1 band)
+        if m > 1:
+            idv = np.asarray(ids.to_numpy(zero_copy_only=False))
+            first = np.concatenate([[True], idv[1:] != idv[:-1]])
+            ids = ids.filter(pa.array(first))
+            m = len(ids)
         if m < 2:
             return empty
-        out_a, out_b, out_e = [], [], []
-        for i in range(m - 1):
-            agree = (sigs[i + 1:] == sigs[i]).mean(axis=1)
-            hit = np.flatnonzero(agree >= threshold)
-            for h in hit:
-                out_a.append(ids[i])
-                out_b.append(ids[i + 1 + h])
-                out_e.append(int(np.floor(agree[h] * 1e6 + 0.5)))
-        return pa.table({"id_a": pa.array(out_a, id_type),
-                         "id_b": pa.array(out_b, id_type),
-                         "est_jaccard_1e6": pa.array(out_e, pa.int64())})
+        a_idx, b_idx = np.triu_indices(m, 1)
+        return pa.table({"id_a": ids.take(pa.array(a_idx)),
+                         "id_b": ids.take(pa.array(b_idx))})
 
     pairs = buckets.groupby("bucket").map_groups(
         bucket_pairs, batch_format="pyarrow")
 
     def key_pairs(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.string()),
+                             "id_b": pa.array([], pa.string()),
+                             "pair": pa.array([], pa.string())})
         k = [f"{a}\x00{b}" for a, b in zip(tbl.column("id_a").to_pylist(),
                                            tbl.column("id_b").to_pylist())]
         return tbl.append_column("pair", pa.array(k, pa.string()))
 
-    return (
+    cand = (
         pairs.map_batches(key_pairs, batch_format="pyarrow")
         .groupby("pair")
-        .map_groups(lambda g: g.select(
-            ["id_a", "id_b", "est_jaccard_1e6"]).slice(0, 1),
-            batch_format="pyarrow")
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .materialize()
+    )
+
+    # ---- verification: recompute sigs for candidate ids only ----
+    cand_ids: set = set()
+    for b in cand.iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
+        cand_ids.update(b.column("id_a").to_pylist())
+        cand_ids.update(b.column("id_b").to_pylist())
+        if len(cand_ids) > max_candidate_ids:
+            raise ValueError(
+                f"minhash_lsh_pairs: > {max_candidate_ids} distinct "
+                "candidate ids; raise max_candidate_ids or pre-shard "
+                "the corpus (per-language / per-snapshot) before LSH")
+    from .windows import _field_type
+
+    idt = _field_type(ds, id_column)
+    est_schema = pa.schema([("id_a", idt), ("id_b", idt),
+                            ("est_jaccard_1e6", pa.int64())])
+    if not cand_ids:
+        return ray.data.from_arrow(est_schema.empty_table())
+    id_ref = ray.put(np.sort(np.array(list(cand_ids), dtype=object)))
+
+    def sig_for_candidates(tbl: pa.Table) -> pa.Table:
+        wanted = ray.get(id_ref)
+        idv = np.asarray(
+            tbl.column(id_column).to_numpy(zero_copy_only=False))
+        pos = np.searchsorted(wanted, idv)
+        pos = np.minimum(pos, len(wanted) - 1)
+        mask = wanted[pos] == idv
+        sub = tbl.filter(pa.array(mask))
+        if sub.num_rows == 0:
+            return pa.table({
+                "id": pa.array([], tbl.column(id_column).type),
+                "sig": pa.array([], pa.list_(pa.int64()))})
+        out = _minhash_band_buckets(sub, include_sig=True, **sig_kwargs)
+        return pa.table({"id": out.column("id"),
+                         "sig": out.column("sig").cast(
+                             pa.list_(pa.int64()))})
+
+    sig_rows = ds.map_batches(sig_for_candidates, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    # meet pair rows and sig rows via groupby over a STRING key (the
+    # two unioned datasets must agree on the key type); typed id_a /
+    # id_b ride along as payload so the output keeps the input id type
+    row_schema = pa.schema([
+        ("key", pa.string()), ("pair", pa.string()),
+        ("id_a", idt), ("id_b", idt), ("sig", pa.list_(pa.int64())),
+    ])
+
+    def pair_sides(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return row_schema.empty_table()
+        parts = []
+        for side in ("id_a", "id_b"):
+            parts.append(pa.table({
+                "key": pc.cast(tbl.column(side), pa.string()),
+                "pair": tbl.column("pair"),
+                "id_a": tbl.column("id_a"),
+                "id_b": tbl.column("id_b"),
+                "sig": pa.array([None] * tbl.num_rows,
+                                pa.list_(pa.int64())),
+            }, schema=row_schema))
+        return pa.concat_tables(parts)
+
+    def tag_sigs(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return row_schema.empty_table()
+        return pa.table({
+            "key": pc.cast(tbl.column("id"), pa.string()),
+            "pair": pa.array([None] * tbl.num_rows, pa.string()),
+            "id_a": pa.array([None] * tbl.num_rows, idt),
+            "id_b": pa.array([None] * tbl.num_rows, idt),
+            "sig": tbl.column("sig"),
+        }, schema=row_schema)
+
+    sides = cand.map_batches(pair_sides, batch_format="pyarrow")
+    tagged = sig_rows.map_batches(tag_sigs, batch_format="pyarrow")
+
+    def attach(grp: pa.Table) -> pa.Table:
+        sig_mask = pc.is_valid(grp.column("sig"))
+        sig_rows_ = grp.filter(sig_mask)
+        pair_rows = grp.filter(pc.invert(sig_mask))
+        if sig_rows_.num_rows == 0 or pair_rows.num_rows == 0:
+            return row_schema.empty_table()
+        n = pair_rows.num_rows
+        sig = sig_rows_.column("sig").slice(0, 1).take(
+            pa.array(np.zeros(n, dtype=np.int64)))
+        return pa.table({
+            "key": pair_rows.column("key"),
+            "pair": pair_rows.column("pair"),
+            "id_a": pair_rows.column("id_a"),
+            "id_b": pair_rows.column("id_b"),
+            "sig": sig,
+        }, schema=row_schema)
+
+    def verify(grp: pa.Table) -> pa.Table:
+        if grp.num_rows != 2:  # a side lost its sig (id absent): drop
+            return est_schema.empty_table()
+        s = grp.column("sig").combine_chunks()
+        a = np.asarray(s[0].as_py(), dtype=np.int64)
+        b = np.asarray(s[1].as_py(), dtype=np.int64)
+        agree = float((a == b).mean())
+        if agree < threshold:
+            return est_schema.empty_table()
+        return pa.table({
+            "id_a": grp.column("id_a").slice(0, 1),
+            "id_b": grp.column("id_b").slice(0, 1),
+            "est_jaccard_1e6": pa.array(
+                [int(np.floor(agree * 1e6 + 0.5))], pa.int64()),
+        }, schema=est_schema)
+
+    return (
+        sides.union(tagged)
+        .groupby("key").map_groups(attach, batch_format="pyarrow")
+        .groupby("pair").map_groups(verify, batch_format="pyarrow")
     )
 
 
@@ -521,15 +662,30 @@ def simhash_pairs(
         offsets = np.concatenate([[0], np.cumsum(counts)])
         th = hash_strings(flat, seed=seed)[nonempty] if parent.size else \
             np.empty(0, dtype=_U64)
-        bits = ((th[:, None] >> np.arange(64, dtype=_U64)) & _U64(1)
-                ).astype(np.int32) * 2 - 1
-        acc = np.zeros((n, 64), dtype=np.int64)
-        nz = np.flatnonzero(np.diff(offsets) > 0)
+        # sign(sum over tokens of +-1 per bit) == (2 * ones-count >
+        # token-count), so 64 per-bit reduceat passes suffice — the
+        # (tokens x 64) +-1 matrix of the naive layout costs ~0.5 GB
+        # per 8k-doc batch at web text lengths and thrashed at 3M docs
+        doc_len = np.diff(offsets)
+        nz = np.flatnonzero(doc_len > 0)
+        sim = np.zeros(n, dtype=_U64)
         if th.size and nz.size:
-            acc[nz] = np.add.reduceat(bits, offsets[:-1][nz], axis=0)
-        sim = ((acc > 0).astype(_U64) << np.arange(64, dtype=_U64)).sum(
-            axis=1, dtype=_U64)
+            starts = offsets[:-1][nz]
+            len_nz = doc_len[nz]
+            for b in range(64):
+                bit = ((th >> _U64(b)) & _U64(1)).astype(np.int64)
+                cnt = np.add.reduceat(bit, starts)
+                sim[nz] |= (2 * cnt > len_nz).astype(_U64) << _U64(b)
         ids = tbl.column(id_column)
+        # token-less docs all share simhash 0: skip them (same
+        # degenerate-bucket rationale as minhash — see
+        # _minhash_band_buckets)
+        has_tokens = np.diff(offsets) > 0
+        if not has_tokens.all():
+            keep_idx = np.flatnonzero(has_tokens)
+            ids = ids.take(pa.array(keep_idx))
+            sim = sim[keep_idx]
+            n = len(keep_idx)
         bandvals = sim.view(np.uint16).reshape(n, 4)
         bucket = np.empty(n * 4, dtype=_U64)
         for b in range(4):
