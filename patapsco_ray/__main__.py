@@ -8,6 +8,10 @@
   query (reference patapsco/bin/query.py).
 - ``python -m patapsco_ray web -i INDEX --port P [--store DIR]`` —
   HTTP query/doc service (reference patapsco/bin/web.py:21-58).
+- ``python -m patapsco_ray build -i PARQUET -o IDX [...]`` — direct
+  index build (aligned or shuffle strategy).
+- ``python -m patapsco_ray compact -i IDX -o OUT [--target-docs N]``
+  — merge small segments into larger ones.
 """
 
 from __future__ import annotations
@@ -97,12 +101,100 @@ def _web_main(argv: list[str]) -> int:
     return 0
 
 
+def _build_main(argv: list[str]) -> int:
+    """Direct index build over parquet inputs (the library call
+    ``index.build_index`` from the shell)."""
+    ap = argparse.ArgumentParser(prog="patapsco_ray build",
+                                 description="Build an inverted index")
+    ap.add_argument("-i", "--input", required=True,
+                    help="parquet file/dir (repeatable)", action="append")
+    ap.add_argument("-o", "--output", required=True, help="index dir")
+    ap.add_argument("--id-column", default="url")
+    ap.add_argument("--text-column", default="text")
+    ap.add_argument("--html-column", default="html")
+    ap.add_argument("--stem", default=False)
+    ap.add_argument("--stopwords", default=False)
+    ap.add_argument("--rows-per-segment", type=int, default=250_000)
+    ap.add_argument("--concurrency", type=int, default=None)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--strategy", choices=("aligned", "shuffle"),
+                    default="aligned")
+    a = ap.parse_args(argv)
+
+    import ray
+
+    started = not ray.is_initialized()
+    if started:
+        ray.init(address="local", include_dashboard=False)
+    try:
+        from .text import TextConfig
+
+        cfg = TextConfig(stem=a.stem, stopwords=a.stopwords)
+        inputs = a.input if len(a.input) > 1 else a.input[0]
+        if a.strategy == "shuffle":
+            from .index.build_shuffle import build_index_shuffle
+
+            m = build_index_shuffle(
+                inputs, a.output, text_config=cfg,
+                id_column=a.id_column, text_column=a.text_column,
+                html_column=a.html_column or None,
+                concurrency=a.concurrency)
+        else:
+            from .index import build_index
+
+            m = build_index(
+                inputs, a.output, text_config=cfg,
+                id_column=a.id_column, text_column=a.text_column,
+                html_column=a.html_column or None,
+                rows_per_segment=a.rows_per_segment,
+                concurrency=a.concurrency, resume=a.resume)
+        print(json.dumps({"ndocs": m["ndocs"],
+                          "segments": len(m["segments"])}))
+        return 0
+    finally:
+        if started:
+            ray.shutdown()
+
+
+def _compact_main(argv: list[str]) -> int:
+    """Segment compaction (``index.compact.compact_index``)."""
+    ap = argparse.ArgumentParser(prog="patapsco_ray compact",
+                                 description="Merge small index segments")
+    ap.add_argument("-i", "--index", required=True)
+    ap.add_argument("-o", "--output", required=True)
+    ap.add_argument("--target-docs", type=int, default=1_000_000)
+    ap.add_argument("--concurrency", type=int, default=None)
+    a = ap.parse_args(argv)
+
+    import ray
+
+    started = not ray.is_initialized()
+    if started:
+        ray.init(address="local", include_dashboard=False)
+    try:
+        from .index.compact import compact_index
+
+        m = compact_index(a.index, a.output,
+                          target_docs_per_segment=a.target_docs,
+                          concurrency=a.concurrency)
+        print(json.dumps({"ndocs": m["ndocs"],
+                          "segments": len(m["segments"])}))
+        return 0
+    finally:
+        if started:
+            ray.shutdown()
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if argv and argv[0] == "query":
         return _query_main(argv[1:])
     if argv and argv[0] == "web":
         return _web_main(argv[1:])
+    if argv and argv[0] == "build":
+        return _build_main(argv[1:])
+    if argv and argv[0] == "compact":
+        return _compact_main(argv[1:])
     ap = argparse.ArgumentParser(
         prog="patapsco_ray",
         description="Run a config-driven index+retrieve pipeline",
@@ -114,7 +206,8 @@ def main(argv: list[str] | None = None) -> int:
 
     import ray
 
-    if not ray.is_initialized():
+    started = not ray.is_initialized()
+    if started:
         ray.init(address="local", include_dashboard=False)
     try:
         from .pipelines.runner import Runner, _load_config
@@ -127,7 +220,8 @@ def main(argv: list[str] | None = None) -> int:
                          indent=1))
         return 0
     finally:
-        ray.shutdown()
+        if started:
+            ray.shutdown()
 
 
 if __name__ == "__main__":

@@ -111,3 +111,34 @@ def test_query_cli_rm3(served, capsys):
     assert main(["query", "-i", idx, "-q", "cats", "--rm3",
                  "--store", store]) == 0
     assert capsys.readouterr().out.strip()
+
+
+def test_cli_build_and_compact(ray_session, tmp_path, capsys):
+    """`python -m patapsco_ray build|compact` surface."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from patapsco_ray.__main__ import main
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    pq.write_table(pa.table({
+        "url": [f"d{i}" for i in range(50)],
+        "text": [f"hello world doc {i}" for i in range(50)],
+    }), inp / "docs.parquet", row_group_size=10)
+    rc = main(["build", "-i", str(inp), "-o", str(tmp_path / "idx"),
+               "--rows-per-segment", "10", "--html-column", ""])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["ndocs"] == 50 and out["segments"] == 5
+    rc = main(["compact", "-i", str(tmp_path / "idx"),
+               "-o", str(tmp_path / "cidx"), "--target-docs", "1000"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["ndocs"] == 50 and out["segments"] == 1
+    from patapsco_ray.search import IndexSearcher
+
+    hits = IndexSearcher(tmp_path / "cidx").search("hello", k=5)
+    assert len(hits) == 5
