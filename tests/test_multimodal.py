@@ -183,3 +183,29 @@ def test_real_pipelines_end_to_end(ray_session):
                    4: [0, 2], 5: [0, 2]}
     row = vid[(vid.id == 3) & (vid.frame_index == 2)]["frame"].iloc[0]
     assert bytes(row) == bytes([3, 2]) * 4
+
+
+def test_video_demux_composes_with_png_decode(ray_session):
+    """The intended multimodal composition: PRVC demux emits PNG
+    frames that decode_images consumes directly."""
+    rng = np.random.default_rng(21)
+    vids = []
+    for i in range(3):
+        frames = [png_encode(rng.integers(0, 256, (4, 4, 3))
+                             .astype(np.uint8)) for _ in range(i + 2)]
+        vids.append(video_container_encode(frames))
+    ds = ray.data.from_arrow(pa.table({
+        "id": [0, 1, 2], "video": pa.array(vids, pa.binary())}))
+    sampled = sample_video_frames(ds, backend="real", every_n=1,
+                                  max_frames=4)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"id": t.column("id"),
+                         "image": t.column("frame")})
+
+    frames_ds = sampled.map_batches(rename, batch_format="pyarrow")
+    dec = decode_images(frames_ds, backend="real",
+                        concurrency=1).to_pandas()
+    assert len(dec) == 2 + 3 + 4
+    assert (dec["width"] == 4).all() and (dec["height"] == 4).all()
+    assert (dec["channels"] == 3).all()
