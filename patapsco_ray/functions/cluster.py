@@ -157,18 +157,24 @@ def connected_components(
     *,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    driver_threshold: int = 5_000_000,
+    driver_threshold: int = 25_000_000,
     max_rounds: int = 16,
 ) -> ray.data.Dataset:
     """(id, root) for every id appearing in ``pairs``; root is the
     lexicographic minimum of the connected component.
 
     Edge sets up to ``driver_threshold`` rows resolve on the driver
-    (union-find over the pair list — edges are near-dup PAIRS, a small
-    fraction of the corpus, so this is the common path and exact).
-    Larger sets run alternating star rounds of groupby dataflow until
-    the edge set reaches a fixed point (star graphs rooted at
-    component minima), checked by an order-independent checksum.
+    with the VECTORIZED numpy path (dictionary-encode + min-label
+    relaxation + pointer jumping; measured 8.5 s / ~1.5 GB at 5M
+    string edges — the threshold is sized so a 25M-edge set stays
+    under ~10 GB and ~1 min). Larger sets run alternating star rounds
+    of groupby dataflow until the edge set reaches a fixed point
+    (star graphs rooted at component minima), checked by an
+    order-independent checksum. The star rounds pay one Python
+    ``map_groups`` call per NODE per round (measured ~18 min at 6.1M
+    edges / ~1M nodes), so prefer the driver path whenever the edge
+    projection fits driver memory — near-dup edge sets are a small
+    fraction of the corpus even at web scale.
 
     The (id, id) edge projection is materialized ONCE up front — it is
     tiny relative to the pair stage that produced it, and everything
