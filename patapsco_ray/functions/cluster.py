@@ -31,7 +31,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Count
+from ray.data.aggregate import Count, Min
 
 __all__ = ["connected_components", "dedup_keep", "near_dedup"]
 
@@ -80,28 +80,209 @@ def _driver_components(t: pa.Table) -> pa.Table:
 
 def _distinct_edges(edges: ray.data.Dataset, schema: pa.Schema
                     ) -> ray.data.Dataset:
+    """Distinct (u, v) rows via a 128-bit edge-hash group key.
+
+    Grouping directly on two string columns sort-shuffles the string
+    payloads (measured ~12 min for 6M string-pair rows — and this
+    dedup runs once per star round); two int64 hash keys sort in a
+    fraction of that, and rows within a (k1, k2) group are identical
+    up to a 2^-128-grade collision, so native Min aggregates recover
+    (u, v) without any per-group Python."""
+    from .hashing import hash_strings, splitmix64
     from .windows import _pin
 
-    agg = edges.groupby(["u", "v"]).aggregate(Count())
-    return agg.drop_columns(["count()"]).map_batches(
+    def _edge_hash(col: pa.ChunkedArray, seed: int) -> np.ndarray:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_string(col.type) or pa.types.is_large_string(
+                col.type):
+            return hash_strings(col, seed=seed)
+        ints = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        return splitmix64(ints + np.uint64(seed))
+
+    def keyed(t: pa.Table) -> pa.Table:
+        key_schema = pa.schema([("k1", pa.int64()), ("k2", pa.int64()),
+                                ("u", schema.field("u").type),
+                                ("v", schema.field("v").type)])
+        if t.num_rows == 0:
+            return key_schema.empty_table()
+        with np.errstate(over="ignore"):
+            hu1 = _edge_hash(t.column("u"), 101)
+            hv1 = _edge_hash(t.column("v"), 103)
+            hu2 = _edge_hash(t.column("u"), 107)
+            hv2 = _edge_hash(t.column("v"), 109)
+            k1 = splitmix64(hu1 * np.uint64(0x9E3779B97F4A7C15) ^ hv1)
+            k2 = splitmix64(hu2 ^ (hv2 * np.uint64(0xC2B2AE3D27D4EB4F)))
+        return pa.table({
+            "k1": pa.array(k1.view(np.int64)),
+            "k2": pa.array(k2.view(np.int64)),
+            "u": t.column("u"), "v": t.column("v"),
+        }, schema=key_schema)
+
+    agg = (edges.map_batches(keyed, batch_format="pyarrow")
+           .groupby(["k1", "k2"]).aggregate(Min("u"), Min("v")))
+
+    def fin(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        return pa.table({"u": t.column("min(u)"),
+                         "v": t.column("min(v)")}, schema=schema)
+
+    return agg.map_batches(fin, batch_format="pyarrow").map_batches(
         _pin(schema), batch_format="pyarrow")
 
 
-def _star_round(edges: ray.data.Dataset, edge_schema: pa.Schema
-                ) -> ray.data.Dataset:
-    """One large-star + small-star round (Kiveris et al. SoCC'14 §3).
+# below this many edges the per-node-call map_groups star is cheap and
+# the join-vectorized star is NOT safe: Ray's hash-join partitions a
+# tiny input into empty blocks whose schema-less batches crash acero
+# ("No match for FieldRef"); at >= this size every join partition
+# holds thousands of rows and the vectorized path is the one that
+# scales (module-level so tests can force either path)
+_VEC_STAR_MIN_EDGES = 500_000
 
-    Each star is one ``groupby(node).map_groups`` — the group IS the
-    node's neighborhood, so the per-node min and the emitted edges are
-    computed in place with Arrow kernels; no join stage (a
-    two-sided hash join would re-shuffle the same edge set a second
-    time for data the group already holds).
+
+def _star_round(edges: ray.data.Dataset, edge_schema: pa.Schema,
+                n_edges: int) -> ray.data.Dataset:
+    if n_edges >= _VEC_STAR_MIN_EDGES:
+        return _star_round_vec(edges, edge_schema)
+    return _star_round_groups(edges, edge_schema)
+
+
+def _star_round_vec(edges: ray.data.Dataset, edge_schema: pa.Schema,
+                    num_partitions: int | None = None) -> ray.data.Dataset:
+    """One large-star + small-star round (Kiveris et al. SoCC'14 §3),
+    fully VECTORIZED: each star is a native ``groupby(u).min(v)``
+    aggregate (no per-group Python — a ``map_groups`` star paid one
+    interpreter call per NODE per round, ~18 min at 1M nodes) plus one
+    hash join attaching the per-node minimum back onto the edges.
 
     - large-star: over the symmetric edge set, m(u) = min(N(u) + {u});
       emit (v, m(u)) for every neighbor v > u.
-    - small-star: orient edges high->low, m(u) = min(N(u) + {u});
-      emit (v, m(u)) for v in N(u), v != m(u), plus (u, m(u)).
+    - small-star: orient edges high->low, m(u) = min(N(u)) (all
+      neighbors are < u after orienting); emit (v, m(u)) for
+      v in N(u), v != m(u), plus (u, m(u)).
     """
+    idt = edge_schema.field("u").type
+    if num_partitions is None:
+        # the hash-join operator spawns aggregator actors per
+        # partition: oversubscribing a small cluster (32 partitions at
+        # 4 CPUs) deadlocks the tiny-data case, so size to the cluster
+        num_partitions = max(
+            2, min(32, int(ray.cluster_resources().get("CPU", 4)) // 2))
+
+    def _empty() -> pa.Table:
+        return edge_schema.empty_table()
+
+    def bidir(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty()
+        rev = pa.table({"u": t.column("v"), "v": t.column("u")})
+        return pa.concat_tables([t.select(["u", "v"]), rev])
+
+    min_schema = pa.schema([("u", idt), ("m", idt)])
+
+    def node_mins(e: ray.data.Dataset, clamp_self: bool
+                  ) -> ray.data.Dataset:
+        # group on a 128-bit hash of the node id, not the (string) id
+        # itself: the sort-based aggregate shuffle over string keys is
+        # the same pathology _distinct_edges documents; all rows in a
+        # (h1, h2) group share one u, so Min("u") recovers it
+        from .hashing import hash_strings, splitmix64
+
+        def keyed(t: pa.Table) -> pa.Table:
+            ks = pa.schema([("h1", pa.int64()), ("h2", pa.int64()),
+                            ("u", idt), ("v", idt)])
+            if t.num_rows == 0:
+                return ks.empty_table()
+            col = t.column("u")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if pa.types.is_string(col.type) or pa.types.is_large_string(
+                    col.type):
+                h1 = hash_strings(col, seed=211)
+                h2 = hash_strings(col, seed=223)
+            else:
+                ints = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+                h1 = splitmix64(ints + np.uint64(211))
+                h2 = splitmix64(ints + np.uint64(223))
+            return pa.table({"h1": pa.array(h1.view(np.int64)),
+                             "h2": pa.array(h2.view(np.int64)),
+                             "u": t.column("u"), "v": t.column("v")},
+                            schema=ks)
+
+        agg = (e.map_batches(keyed, batch_format="pyarrow")
+               .groupby(["h1", "h2"]).aggregate(Min("u"), Min("v")))
+
+        def fin(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return min_schema.empty_table()
+            u = t.column("min(u)")
+            m = t.column("min(v)")
+            if clamp_self:
+                m = pc.min_element_wise(m, u)
+            return pa.table({"u": u, "m": m}, schema=min_schema)
+
+        return agg.map_batches(fin, batch_format="pyarrow")
+
+    def orient(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty()
+        hi = pc.max_element_wise(t.column("u"), t.column("v"))
+        lo = pc.min_element_wise(t.column("u"), t.column("v"))
+        return pa.table({"u": hi, "v": lo})
+
+    # ---- large star ----
+    sym = edges.map_batches(bidir, batch_format="pyarrow").materialize()
+    lmins = node_mins(sym, clamp_self=True)
+    joined = sym.join(lmins, join_type="inner", on=("u",),
+                      num_partitions=num_partitions)
+
+    def large_emit(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty()
+        keep = pc.greater(t.column("v"), t.column("u"))
+        sub = t.filter(keep)
+        return pa.table({"u": sub.column("v"), "v": sub.column("m")},
+                        schema=edge_schema)
+
+    large = joined.map_batches(large_emit, batch_format="pyarrow")
+
+    # ---- small star ----
+    ori = large.map_batches(orient, batch_format="pyarrow").materialize()
+    smins = node_mins(ori, clamp_self=False)  # neighbors all < u
+    sjoined = ori.join(smins, join_type="inner", on=("u",),
+                       num_partitions=num_partitions)
+
+    def small_emit(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty()
+        keep = pc.invert(pc.equal(t.column("v"), t.column("m")))
+        sub = t.filter(keep)
+        return pa.table({"u": sub.column("v"), "v": sub.column("m")},
+                        schema=edge_schema)
+
+    small_nbrs = sjoined.map_batches(small_emit, batch_format="pyarrow")
+
+    # the (u, m(u)) edges come straight from the mins table; u == m
+    # (already-rooted nodes) must NOT emit a self loop — the original
+    # per-group star skipped them, and a (m, m) edge would later
+    # duplicate the root's (id, root) output row
+    def self_edges_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty()
+        sub = t.filter(pc.invert(pc.equal(t.column("u"), t.column("m"))))
+        return pa.table({"u": sub.column("u"), "v": sub.column("m")},
+                        schema=edge_schema)
+
+    self_edges = smins.map_batches(self_edges_fn, batch_format="pyarrow")
+    return _distinct_edges(small_nbrs.union(self_edges), edge_schema)
+
+
+def _star_round_groups(edges: ray.data.Dataset, edge_schema: pa.Schema
+                       ) -> ray.data.Dataset:
+    """The per-node ``map_groups`` star round: one Python call per node
+    per round — fine below ``_VEC_STAR_MIN_EDGES``, where the
+    join-vectorized round cannot run safely (see the constant)."""
     idt = edge_schema.field("u").type
 
     def _empty() -> pa.Table:
@@ -220,10 +401,17 @@ def connected_components(
         hs = e.map_batches(h, batch_format="pyarrow")
         return e.count(), int(hs.sum("h") or 0)
 
+    # a few-block edge set serializes every downstream sort/aggregate
+    # map side (one 6M-row block = one single-threaded sort task):
+    # spread it so each shuffle round has real map-side parallelism
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    target_blocks = min(max(2 * cpus, 8), max(n // 100_000, 1))
+    if edges.num_blocks() < target_blocks:
+        edges = edges.repartition(target_blocks).materialize()
     edges = _distinct_edges(edges, edge_schema).materialize()
     prev = _checksum(edges)
     for _ in range(max_rounds):
-        edges = _star_round(edges, edge_schema).materialize()
+        edges = _star_round(edges, edge_schema, prev[0]).materialize()
         cur = _checksum(edges)
         if cur == prev:
             break

@@ -151,3 +151,26 @@ def test_near_dedup_jaccard_end_to_end(ray_session):
 def test_near_dedup_unknown_method(ray_session):
     with pytest.raises(ValueError):
         near_dedup(_docs_ds(), method="nope")
+
+
+def test_vectorized_star_rounds_match_driver(ray_session, monkeypatch):
+    """The join-vectorized star path (engaged above _VEC_STAR_MIN_EDGES)
+    must produce the same components as the driver union-find."""
+    import numpy as np
+
+    from patapsco_ray.functions import cluster as cmod
+
+    rng = np.random.default_rng(13)
+    # ~3000 edges over chains/cliques: big enough that every join
+    # partition holds rows, small enough for a quick test
+    ids = [f"n{i:05d}" for i in range(3000)]
+    pairs = []
+    for lo in range(0, 3000, 30):
+        member = ids[lo:lo + 30]
+        perm = rng.permutation(member)
+        pairs += list(zip(perm[:-1], perm[1:]))
+    exact = _driver_union_find(pairs)
+    monkeypatch.setattr(cmod, "_VEC_STAR_MIN_EDGES", 1)
+    got = _comp_dict(
+        connected_components(_pairs_ds(pairs), driver_threshold=0))
+    assert got == exact
