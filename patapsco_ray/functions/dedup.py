@@ -82,6 +82,83 @@ def _scaled(x: np.ndarray, scale: float = 1e6) -> np.ndarray:
     return np.floor(x * scale + 0.5).astype(np.int64)
 
 
+# number of coarse hash partitions used to make pair-level reductions
+# (distinct / count) vectorized: groups are PARTITIONS, not pairs, so
+# map_groups pays one Python call per partition, never per pair
+_DISTINCT_PARTS = 256
+
+
+def _hash_part(col: pa.ChunkedArray | pa.Array, num_partitions: int,
+               seed: int) -> pa.Array:
+    """Vectorized int64 partition id for an arbitrary-typed column."""
+    key = pc.cast(col, pa.string())
+    if isinstance(key, pa.ChunkedArray):
+        key = key.combine_chunks()
+    part = hash_strings(key, seed=seed) % _U64(num_partitions)
+    return pa.array(part.astype(np.int64))
+
+
+def _pair_part(tbl: pa.Table, num_partitions: int, seed: int) -> pa.Array:
+    """Vectorized partition id over the (id_a, id_b) pair — replaces
+    the per-row Python f-string pair keys of earlier revisions."""
+    parts = []
+    for c in ("id_a", "id_b"):
+        key = pc.cast(tbl.column(c), pa.string())
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        parts.append(hash_strings(key, seed=seed))
+    pk = combine_hashes(*parts)
+    return pa.array((pk % _U64(num_partitions)).astype(np.int64))
+
+
+def _run_starts(tbl: pa.Table, columns: tuple[str, ...]) -> np.ndarray:
+    """Boolean first-in-run mask over a table already SORTED by
+    ``columns`` (vectorized neighbor comparison, exact for any type)."""
+    n = tbl.num_rows
+    first = np.ones(n, dtype=bool)
+    if n > 1:
+        same = None
+        for c in columns:
+            col = tbl.column(c)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            eq = pc.equal(col.slice(1), col.slice(0, n - 1))
+            same = eq if same is None else pc.and_(same, eq)
+        first[1:] = ~same.to_numpy(zero_copy_only=False)
+    return first
+
+
+def _distinct_pairs(pairs: ray.data.Dataset, schema: pa.Schema,
+                    *, num_partitions: int = _DISTINCT_PARTS
+                    ) -> ray.data.Dataset:
+    """Globally distinct (id_a, id_b[, payload...]) rows with NO
+    per-pair Python: coarse hash-partition on the pair, then one
+    vectorized sort + neighbor-dedup per partition. Payload columns
+    (which must be identical across duplicates of a pair, e.g. the
+    hamming distance) keep the first row of each run."""
+    part_schema = schema.append(pa.field("part", pa.int64()))
+
+    def add_part(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return part_schema.empty_table()
+        return tbl.select(schema.names).append_column(
+            "part", _pair_part(tbl, num_partitions, seed=7))
+
+    def distinct(grp: pa.Table) -> pa.Table:
+        if grp.num_rows == 0:
+            return schema.empty_table()
+        order = pc.sort_indices(grp, sort_keys=[
+            ("id_a", "ascending"), ("id_b", "ascending")])
+        t = grp.take(order).combine_chunks()
+        first = _run_starts(t, ("id_a", "id_b"))
+        if not first.all():
+            t = t.filter(pa.array(first))
+        return t.select(schema.names)
+
+    return (pairs.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part").map_groups(distinct, batch_format="pyarrow"))
+
+
 # ---------------------------------------------------------------- exact
 
 
@@ -126,28 +203,39 @@ def exact_duplicate_pairs(
     """
 
     def add_hash(tbl: pa.Table) -> pa.Table:
+        th = _hash128_hex(tbl.column(text_column))
         return pa.table(
-            {"text_hash": _hash128_hex(tbl.column(text_column)),
-             "id": tbl.column(id_column)}
+            {"text_hash": th, "id": tbl.column(id_column),
+             "part": _hash_part(th, _DISTINCT_PARTS, seed=9)}
         )
 
     def emit(grp: pa.Table) -> pa.Table:
-        ids = grp.column("id")
-        if grp.num_rows < 2:
-            return pa.table({"id_a": pa.array([], ids.type),
-                             "id_b": pa.array([], ids.type)})
-        lo = pc.min(ids)
-        keep = pc.invert(pc.equal(ids, lo))
-        others = ids.filter(keep)
-        return pa.table({
-            "id_a": pa.array([lo.as_py()] * len(others), ids.type),
-            "id_b": others.combine_chunks() if isinstance(
-                others, pa.ChunkedArray) else others,
-        })
+        # one COARSE hash partition (not one duplicate group): sort by
+        # (hash, id) and emit (run-min, member) edges per run,
+        # vectorized — one Python call per partition, never per group
+        n = grp.num_rows
+        id_type = grp.column("id").type
+        empty = pa.table({"id_a": pa.array([], id_type),
+                          "id_b": pa.array([], id_type)})
+        if n < 2:
+            return empty
+        order = pc.sort_indices(grp, sort_keys=[
+            ("text_hash", "ascending"), ("id", "ascending")])
+        t = grp.take(order).combine_chunks()
+        first = _run_starts(t, ("text_hash",))
+        start_pos = np.flatnonzero(first)
+        runlens = np.diff(np.append(start_pos, n))
+        a_take = np.repeat(start_pos, runlens - 1)
+        if a_take.size == 0:
+            return empty
+        b_take = np.flatnonzero(~first)
+        ids = t.column("id")
+        return pa.table({"id_a": ids.take(pa.array(a_take)),
+                         "id_b": ids.take(pa.array(b_take))})
 
     return (
         ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("text_hash")
+        .groupby("part")
         .map_groups(emit, batch_format="pyarrow")
     )
 
@@ -219,7 +307,7 @@ def ngram_jaccard_pairs(
     text_column: str = "text",
     shingle_size: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int = 2000,
+    max_shingle_df: int = 100_000,
 ) -> ray.data.Dataset:
     """Exact n-gram-Jaccard near-duplicate pairs.
 
@@ -227,14 +315,19 @@ def ngram_jaccard_pairs(
     with Jaccard >= threshold over distinct ``shingle_size``-token
     shingles (docs shorter than the shingle size contribute their whole
     token sequence as one shingle). Shingles with document frequency >
-    ``max_shingle_df`` are excluded from pair GENERATION (quadratic-head
-    cap — a group AT the cap already emits ~2M pair rows, the largest
-    single-task unit we allow) but still count toward per-doc sizes, so
-    a computed Jaccard is a lower bound whenever a drop happened; every
-    dropped shingle group is logged as a WARNING with its df. Groups
-    under the cap emit their pair rows in bounded sub-chunks so peak
-    task memory stays ~O(chunk), not O(df^2), even when the cap is
-    raised.
+    ``max_shingle_df`` are excluded from pair GENERATION (a last-resort
+    quadratic-head guard) but still count toward per-doc sizes, so a
+    computed Jaccard becomes a lower bound IF a drop happened; every
+    dropped shingle group is logged as a WARNING with its df. The
+    default cap (100k) is deliberately high enough that natural-language
+    3-gram shingles essentially never hit it — results stay EXACT by
+    default, as the function's name promises; memory safety comes from
+    chunked emission instead: groups emit their pair rows in bounded
+    sub-chunks so peak task memory stays ~O(chunk), not O(df^2). A df
+    at the cap emits ~5e9 pair rows — slow but streamed; corpora with
+    heads that hot should use :func:`minhash_lsh_pairs` (this function
+    is the exact oracle baseline for BOUNDED corpora; it is inherently
+    O(sum df^2) and was measured OutOfDisk at 3M web docs).
 
     Join-free dataflow: per-doc set sizes are computed at explode time
     (a doc's distinct shingles all come from its one batch) and ride
@@ -309,28 +402,39 @@ def ngram_jaccard_pairs(
     pairs = shingles.groupby("shingle").map_groups(
         emit_pairs, batch_format="pyarrow")
 
-    def key_pairs(tbl: pa.Table) -> pa.Table:
+    def add_part(tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:
-            return pair_schema.append(pa.field("pair", pa.string())
+            return pair_schema.append(pa.field("part", pa.int64())
                                       ).empty_table()
-        ka = [f"{a}\x00{b}" for a, b in zip(tbl.column("id_a").to_pylist(),
-                                            tbl.column("id_b").to_pylist())]
-        return tbl.append_column("pair", pa.array(ka, pa.string()))
+        return tbl.append_column(
+            "part", _pair_part(tbl, _DISTINCT_PARTS, seed=7))
 
-    def count_group(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0:
+    def count_runs(grp: pa.Table) -> pa.Table:
+        # one COARSE hash partition: sort by the pair and run-length
+        # count co-occurrences, all vectorized — one Python call per
+        # partition, never per pair
+        n = grp.num_rows
+        if n == 0:
             return counted_schema.empty_table()
-        return pa.table(
-            {"id_a": g.column("id_a").slice(0, 1),
-             "id_b": g.column("id_b").slice(0, 1),
-             "n_common": pa.array([g.num_rows], pa.int64()),
-             "n_a": g.column("n_a").slice(0, 1),
-             "n_b": g.column("n_b").slice(0, 1)})
+        order = pc.sort_indices(grp, sort_keys=[
+            ("id_a", "ascending"), ("id_b", "ascending")])
+        t = grp.take(order).combine_chunks()
+        first = _run_starts(t, ("id_a", "id_b"))
+        starts = np.flatnonzero(first)
+        runlens = np.diff(np.append(starts, n))
+        take = pa.array(starts)
+        return pa.table({
+            "id_a": t.column("id_a").take(take),
+            "id_b": t.column("id_b").take(take),
+            "n_common": pa.array(runlens.astype(np.int64)),
+            "n_a": t.column("n_a").take(take),
+            "n_b": t.column("n_b").take(take),
+        }, schema=counted_schema)
 
     counted = (
-        pairs.map_batches(key_pairs, batch_format="pyarrow")
-        .groupby("pair")
-        .map_groups(count_group, batch_format="pyarrow")
+        pairs.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(count_runs, batch_format="pyarrow")
     )
 
     def finish(tbl: pa.Table) -> pa.Table:
@@ -441,7 +545,9 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     max_bucket: int = 2000,
     seed: int = 17,
-    max_candidate_ids: int = 5_000_000,
+    broadcast_max_ids: int = 5_000_000,
+    semi_join_partitions: int = 64,
+    target_group_rows: int = 65_536,
 ) -> ray.data.Dataset:
     """MinHash+LSH near-duplicate pairs.
 
@@ -455,11 +561,19 @@ def minhash_lsh_pairs(
     per band (the naive layout ships ~16 KB/doc at the defaults and
     was measured unrunnable at 3M docs). Verification then recomputes
     signatures ONCE per CANDIDATE id (near-dup candidates are a small
-    fraction of the corpus): candidate ids are broadcast via
-    ``ray.put`` to filter the corpus, and the (id, sig) rows meet the
-    pair rows through two groupbys — no joins, nothing driver-side
-    beyond the candidate-id array (capped at ``max_candidate_ids``,
-    raising rather than silently collecting an unbounded set).
+    fraction of the corpus). Every per-pair step is vectorized over
+    COARSE hash partitions — candidate-pair dedup, signature attach
+    (``pc.index_in`` against the partition's sig rows) and the final
+    signature compare (one numpy equality reduction per partition) pay
+    one Python call per partition, never per pair. Candidate ids reach
+    the corpus adaptively: ``<= broadcast_max_ids`` distinct ids are
+    broadcast ONCE via ``ray.put`` and probed per batch (the small-side
+    fast path — no corpus shuffle); above that a hash-partitioned
+    ``left_semi`` join (corpus x candidate ids, ``semi_join_partitions``
+    way) runs instead, so there is NO driver-memory ceiling — dup-heavy
+    corpora degrade to one extra corpus shuffle, never a failure.
+    ``target_group_rows`` sizes the verify partitions (each holds
+    ~that many 1 KB sig rows per task).
     """
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
@@ -501,137 +615,194 @@ def minhash_lsh_pairs(
     pairs = buckets.groupby("bucket").map_groups(
         bucket_pairs, batch_format="pyarrow")
 
-    def key_pairs(tbl: pa.Table) -> pa.Table:
-        if tbl.num_rows == 0:
-            return pa.table({"id_a": pa.array([], pa.string()),
-                             "id_b": pa.array([], pa.string()),
-                             "pair": pa.array([], pa.string())})
-        k = [f"{a}\x00{b}" for a, b in zip(tbl.column("id_a").to_pylist(),
-                                           tbl.column("id_b").to_pylist())]
-        return tbl.append_column("pair", pa.array(k, pa.string()))
-
-    cand = (
-        pairs.map_batches(key_pairs, batch_format="pyarrow")
-        .groupby("pair")
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
-        .materialize()
-    )
-
-    # ---- verification: recompute sigs for candidate ids only ----
-    cand_ids: set = set()
-    for b in cand.iter_batches(batch_format="pyarrow"):
-        if b.num_rows == 0:
-            continue
-        cand_ids.update(b.column("id_a").to_pylist())
-        cand_ids.update(b.column("id_b").to_pylist())
-        if len(cand_ids) > max_candidate_ids:
-            raise ValueError(
-                f"minhash_lsh_pairs: > {max_candidate_ids} distinct "
-                "candidate ids; raise max_candidate_ids or pre-shard "
-                "the corpus (per-language / per-snapshot) before LSH")
-    from .windows import _field_type
+    from .windows import _field_type, _pin
 
     idt = _field_type(ds, id_column)
     est_schema = pa.schema([("id_a", idt), ("id_b", idt),
                             ("est_jaccard_1e6", pa.int64())])
-    if not cand_ids:
+    pair_schema = pa.schema([("id_a", idt), ("id_b", idt)])
+
+    # distinct candidate pairs (a doc pair can collide via several
+    # bands) — coarse-partition vectorized dedup, one Python call per
+    # partition. Materialized once: it is re-read for the id side and
+    # the pair side below, and its count sizes the verify partitions.
+    cand = _distinct_pairs(pairs, pair_schema).materialize()
+    n_pairs = cand.count()
+    if n_pairs == 0:
         return ray.data.from_arrow(est_schema.empty_table())
-    id_ref = ray.put(np.sort(np.array(list(cand_ids), dtype=object)))
 
-    def sig_for_candidates(tbl: pa.Table) -> pa.Table:
-        wanted = ray.get(id_ref)
-        idv = np.asarray(
-            tbl.column(id_column).to_numpy(zero_copy_only=False))
-        pos = np.searchsorted(wanted, idv)
-        pos = np.minimum(pos, len(wanted) - 1)
-        mask = wanted[pos] == idv
-        sub = tbl.filter(pa.array(mask))
-        if sub.num_rows == 0:
-            return pa.table({
-                "id": pa.array([], tbl.column(id_column).type),
-                "sig": pa.array([], pa.list_(pa.int64()))})
-        out = _minhash_band_buckets(sub, include_sig=True, **sig_kwargs)
-        return pa.table({"id": out.column("id"),
-                         "sig": out.column("sig").cast(
-                             pa.list_(pa.int64()))})
+    # ---- distinct candidate ids (distributed, vectorized) ----
+    def both_sides(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"cid": pa.array([], idt),
+                             "part": pa.array([], pa.int64())})
+        cid = pa.concat_arrays([
+            tbl.column("id_a").combine_chunks(),
+            tbl.column("id_b").combine_chunks()])
+        return pa.table({"cid": cid,
+                         "part": _hash_part(cid, _DISTINCT_PARTS, seed=11)})
 
-    sig_rows = ds.map_batches(sig_for_candidates, batch_format="pyarrow",
-                              zero_copy_batch=True)
+    def uniq(grp: pa.Table) -> pa.Table:
+        return pa.table({"cid": grp.column("cid").combine_chunks().unique()})
 
-    # meet pair rows and sig rows via groupby over a STRING key (the
-    # two unioned datasets must agree on the key type); typed id_a /
-    # id_b ride along as payload so the output keeps the input id type
+    cand_ids = (cand.map_batches(both_sides, batch_format="pyarrow")
+                .groupby("part").map_groups(uniq, batch_format="pyarrow")
+                .materialize())
+    n_ids = cand_ids.count()
+
+    # ---- recompute sigs for candidate docs only ----
+    sig_type = pa.list_(pa.int64(), num_perm)
+    sig_schema = pa.schema([("id", idt), ("sig", sig_type)])
+
+    if n_ids <= broadcast_max_ids:
+        # small side: broadcast the id array ONCE (ray.put), probe per
+        # batch with pyarrow's hash lookup — no corpus shuffle
+        wanted_ref = ray.put(pa.concat_arrays([
+            b.column("cid").combine_chunks()
+            for b in cand_ids.iter_batches(batch_format="pyarrow")]))
+
+        def filter_docs(tbl: pa.Table) -> pa.Table:
+            idx = pc.index_in(tbl.column(id_column),
+                              value_set=ray.get(wanted_ref))
+            return tbl.filter(pc.is_valid(idx))
+
+        cand_docs = ds.map_batches(filter_docs, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    else:
+        # big side: hash-partitioned semi-join — one corpus shuffle,
+        # no driver-memory ceiling
+        _LOG.info(
+            "minhash_lsh_pairs: %d candidate ids > broadcast_max_ids=%d"
+            " — using a hash-partitioned left_semi join",
+            n_ids, broadcast_max_ids)
+        pinned_ids = cand_ids.rename_columns({"cid": id_column}).map_batches(
+            _pin(pa.schema([(id_column, idt)])), batch_format="pyarrow")
+        cand_docs = ds.select_columns([id_column, text_column]).join(
+            pinned_ids, join_type="left_semi",
+            num_partitions=semi_join_partitions, on=(id_column,))
+
+    def compute_sigs(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return sig_schema.empty_table()
+        out = _minhash_band_buckets(tbl, include_sig=True, **sig_kwargs)
+        return out.cast(sig_schema)
+
+    sig_rows = cand_docs.map_batches(compute_sigs, batch_format="pyarrow")
+
+    # ---- vectorized attach + compare over coarse partitions ----
+    # partition counts sized so one group holds ~target_group_rows
+    # 1 KB sig rows (bounded task memory at any candidate volume)
+    p_att = int(np.clip((2 * n_pairs + n_ids) // target_group_rows + 1,
+                        1, 4096))
+    p_ver = int(np.clip(n_pairs // target_group_rows + 1, 1, 4096))
+
     row_schema = pa.schema([
-        ("key", pa.string()), ("pair", pa.string()),
-        ("id_a", idt), ("id_b", idt), ("sig", pa.list_(pa.int64())),
-    ])
+        ("part", pa.int64()), ("key", pa.string()), ("side", pa.int8()),
+        ("id_a", idt), ("id_b", idt), ("sig", sig_type)])
 
     def pair_sides(tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:
             return row_schema.empty_table()
-        parts = []
-        for side in ("id_a", "id_b"):
-            parts.append(pa.table({
-                "key": pc.cast(tbl.column(side), pa.string()),
-                "pair": tbl.column("pair"),
+        out = []
+        for side, col in ((0, "id_a"), (1, "id_b")):
+            key = pc.cast(tbl.column(col), pa.string()).combine_chunks()
+            part = hash_strings(key, seed=13) % _U64(p_att)
+            out.append(pa.table({
+                "part": pa.array(part.astype(np.int64)),
+                "key": key,
+                "side": pa.array(
+                    np.full(tbl.num_rows, side, dtype=np.int8)),
                 "id_a": tbl.column("id_a"),
                 "id_b": tbl.column("id_b"),
-                "sig": pa.array([None] * tbl.num_rows,
-                                pa.list_(pa.int64())),
+                "sig": pa.nulls(tbl.num_rows, sig_type),
             }, schema=row_schema))
-        return pa.concat_tables(parts)
+        return pa.concat_tables(out)
 
     def tag_sigs(tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:
             return row_schema.empty_table()
+        key = pc.cast(tbl.column("id"), pa.string()).combine_chunks()
+        part = hash_strings(key, seed=13) % _U64(p_att)
         return pa.table({
-            "key": pc.cast(tbl.column("id"), pa.string()),
-            "pair": pa.array([None] * tbl.num_rows, pa.string()),
-            "id_a": pa.array([None] * tbl.num_rows, idt),
-            "id_b": pa.array([None] * tbl.num_rows, idt),
+            "part": pa.array(part.astype(np.int64)),
+            "key": key,
+            "side": pa.array(np.full(tbl.num_rows, -1, dtype=np.int8)),
+            "id_a": pa.nulls(tbl.num_rows, idt),
+            "id_b": pa.nulls(tbl.num_rows, idt),
             "sig": tbl.column("sig"),
         }, schema=row_schema)
 
     sides = cand.map_batches(pair_sides, batch_format="pyarrow")
     tagged = sig_rows.map_batches(tag_sigs, batch_format="pyarrow")
 
-    def attach(grp: pa.Table) -> pa.Table:
-        sig_mask = pc.is_valid(grp.column("sig"))
-        sig_rows_ = grp.filter(sig_mask)
-        pair_rows = grp.filter(pc.invert(sig_mask))
-        if sig_rows_.num_rows == 0 or pair_rows.num_rows == 0:
-            return row_schema.empty_table()
-        n = pair_rows.num_rows
-        sig = sig_rows_.column("sig").slice(0, 1).take(
-            pa.array(np.zeros(n, dtype=np.int64)))
-        return pa.table({
-            "key": pair_rows.column("key"),
-            "pair": pair_rows.column("pair"),
-            "id_a": pair_rows.column("id_a"),
-            "id_b": pair_rows.column("id_b"),
-            "sig": sig,
-        }, schema=row_schema)
+    att_schema = pa.schema([
+        ("vpart", pa.int64()), ("side", pa.int8()),
+        ("id_a", idt), ("id_b", idt), ("sig", sig_type)])
 
-    def verify(grp: pa.Table) -> pa.Table:
-        if grp.num_rows != 2:  # a side lost its sig (id absent): drop
-            return est_schema.empty_table()
-        s = grp.column("sig").combine_chunks()
-        a = np.asarray(s[0].as_py(), dtype=np.int64)
-        b = np.asarray(s[1].as_py(), dtype=np.int64)
-        agree = float((a == b).mean())
-        if agree < threshold:
-            return est_schema.empty_table()
+    def attach_vec(grp: pa.Table) -> pa.Table:
+        # one coarse key partition: look every pair-side's id up in
+        # the partition's sig rows with ONE pc.index_in (pairs whose
+        # id has no sig — shingle-less doc — drop here, matching the
+        # previous per-pair semantics)
+        sig_mask = pc.is_valid(grp.column("sig"))
+        sig_t = grp.filter(sig_mask)
+        side_t = grp.filter(pc.invert(sig_mask))
+        if sig_t.num_rows == 0 or side_t.num_rows == 0:
+            return att_schema.empty_table()
+        idx = pc.index_in(side_t.column("key"),
+                          value_set=sig_t.column("key").combine_chunks())
+        ok = pc.is_valid(idx)
+        side_t = side_t.filter(ok)
+        if side_t.num_rows == 0:
+            return att_schema.empty_table()
+        sig = sig_t.column("sig").combine_chunks().take(idx.filter(ok))
+        vpart = combine_hashes(
+            hash_strings(pc.cast(side_t.column("id_a"),
+                                 pa.string()).combine_chunks(), seed=19),
+            hash_strings(pc.cast(side_t.column("id_b"),
+                                 pa.string()).combine_chunks(), seed=19),
+        ) % _U64(p_ver)
         return pa.table({
-            "id_a": grp.column("id_a").slice(0, 1),
-            "id_b": grp.column("id_b").slice(0, 1),
-            "est_jaccard_1e6": pa.array(
-                [int(np.floor(agree * 1e6 + 0.5))], pa.int64()),
+            "vpart": pa.array(vpart.astype(np.int64)),
+            "side": side_t.column("side"),
+            "id_a": side_t.column("id_a"),
+            "id_b": side_t.column("id_b"),
+            "sig": sig,
+        }, schema=att_schema)
+
+    def compare_vec(grp: pa.Table) -> pa.Table:
+        # one coarse pair partition: sort by (pair, side) so a pair's
+        # two sides are adjacent, then ONE numpy equality reduction
+        # over the stacked signature matrix
+        n = grp.num_rows
+        if n < 2:
+            return est_schema.empty_table()
+        order = pc.sort_indices(grp, sort_keys=[
+            ("id_a", "ascending"), ("id_b", "ascending"),
+            ("side", "ascending")])
+        t = grp.take(order).combine_chunks()
+        first = _run_starts(t, ("id_a", "id_b"))
+        sd = t.column("side").to_numpy(zero_copy_only=False)
+        match = (~first[1:]) & (sd[:-1] == 0) & (sd[1:] == 1)
+        li = np.flatnonzero(match)
+        if li.size == 0:
+            return est_schema.empty_table()
+        mat = (t.column("sig").combine_chunks().flatten()
+               .to_numpy(zero_copy_only=False).reshape(n, num_perm))
+        agree = (mat[li] == mat[li + 1]).mean(axis=1)
+        keep = agree >= threshold
+        take = pa.array(li[keep])
+        return pa.table({
+            "id_a": t.column("id_a").take(take),
+            "id_b": t.column("id_b").take(take),
+            "est_jaccard_1e6": pa.array(_scaled(agree[keep])),
         }, schema=est_schema)
 
     return (
         sides.union(tagged)
-        .groupby("key").map_groups(attach, batch_format="pyarrow")
-        .groupby("pair").map_groups(verify, batch_format="pyarrow")
+        .groupby("part").map_groups(attach_vec, batch_format="pyarrow")
+        .groupby("vpart").map_groups(compare_vec, batch_format="pyarrow")
+        .map_batches(_pin(est_schema), batch_format="pyarrow")
     )
 
 
@@ -718,40 +889,37 @@ def simhash_pairs(
                 "simhash_pairs: dropping band bucket with %d members "
                 "> max_bucket=%d (candidate recall reduced)", m, max_bucket)
             return empty
-        ids = grp.column("id").to_pylist()
-        sims = grp.column("simhash").to_numpy().view(_U64)
-        order = sorted(range(m), key=lambda i: ids[i])
-        ids = [ids[i] for i in order]
-        sims = sims[np.array(order)]
-        keep = [i for i in range(m) if i == 0 or ids[i] != ids[i - 1]]
-        ids = [ids[i] for i in keep]
-        sims = sims[keep]
-        m = len(ids)
+        # fully vectorized: arrow sort + neighbor dedup, then ONE
+        # triangle popcount over the bucket (m <= max_bucket bounds
+        # the m^2/2 temp to ~2M entries at the default cap)
+        order = pc.sort_indices(grp.column("id"))
+        ids = grp.column("id").take(order).combine_chunks()
+        sims = (grp.column("simhash").take(order).combine_chunks()
+                .to_numpy().view(_U64))
+        eq = pc.equal(ids.slice(1), ids.slice(0, m - 1))
+        keep = np.concatenate([[True], ~eq.to_numpy(zero_copy_only=False)])
+        if not keep.all():
+            ids = ids.filter(pa.array(keep))
+            sims = sims[keep]
+            m = len(ids)
         if m < 2:
             return empty
-        out_a, out_b, out_h = [], [], []
-        for i in range(m - 1):
-            ham = popcount64(sims[i + 1:] ^ sims[i])
-            hit = np.flatnonzero(ham <= max_hamming)
-            for h in hit:
-                out_a.append(ids[i])
-                out_b.append(ids[i + 1 + h])
-                out_h.append(int(ham[h]))
-        return pa.table({"id_a": pa.array(out_a, id_type),
-                         "id_b": pa.array(out_b, id_type),
-                         "hamming": pa.array(out_h, pa.int64())})
+        a_idx, b_idx = np.triu_indices(m, 1)
+        ham = popcount64(sims[a_idx] ^ sims[b_idx])
+        hit = ham <= max_hamming
+        return pa.table({"id_a": ids.take(pa.array(a_idx[hit])),
+                         "id_b": ids.take(pa.array(b_idx[hit])),
+                         "hamming": pa.array(ham[hit])})
 
     pairs = buckets.groupby("bucket").map_groups(
         bucket_pairs, batch_format="pyarrow")
 
-    def key_pairs(tbl: pa.Table) -> pa.Table:
-        k = [f"{a}\x00{b}" for a, b in zip(tbl.column("id_a").to_pylist(),
-                                           tbl.column("id_b").to_pylist())]
-        return tbl.append_column("pair", pa.array(k, pa.string()))
+    from .windows import _field_type
 
-    return (
-        pairs.map_batches(key_pairs, batch_format="pyarrow")
-        .groupby("pair")
-        .map_groups(lambda g: g.select(
-            ["id_a", "id_b", "hamming"]).slice(0, 1), batch_format="pyarrow")
-    )
+    pair_schema = pa.schema([
+        ("id_a", _field_type(ds, id_column)),
+        ("id_b", _field_type(ds, id_column)),
+        ("hamming", pa.int64())])
+    # the hamming payload is identical for every duplicate of a pair,
+    # so the coarse-partition vectorized distinct keeps it exactly
+    return _distinct_pairs(pairs, pair_schema)

@@ -154,7 +154,7 @@ def cosine_neardup_pairs(
     threshold: float = 0.4,
     id_column: str = "vec_id",
     vector_column: str = "embedding",
-    exact_max_rows: int | None = None,
+    exact_max_rows: int | None = 2_000_000,
     planes: int = 12,
     num_tables: int = 4,
     seed: int = 5,
@@ -163,17 +163,20 @@ def cosine_neardup_pairs(
     """Embedding near-duplicate pairs: (id_a, id_b, score_1e6) with
     id_a < id_b and cosine >= threshold.
 
-    By default (``exact_max_rows=None``) the EXACT all-pairs blocked
-    matmul always runs (the oracle-checked baseline; O(B^2) block
-    tasks). Passing ``exact_max_rows=N`` opts into scale-adaptive mode:
-    above N rows a streaming LSH-bucketed path runs instead
+    Scale-adaptive BY DEFAULT: up to ``exact_max_rows`` (2M) rows the
+    EXACT all-pairs blocked matmul runs (the oracle-checked baseline;
+    O(B^2) block tasks — already ~1.3e13 dot products at the bound);
+    above it a streaming LSH-bucketed path runs instead
     (`random-hyperplane buckets x num_tables` -> within-bucket exact
     verify -> pair dedup) whose recall < 1 by construction — a loud
     warning is logged when it is selected, since results are
-    approximate. The adaptive probe counts the column-pruned
-    projection after materializing it ONCE (no double execution of the
-    upstream plan); call :func:`_neardup_lsh` semantics directly via
-    ``exact_max_rows=0`` for the pure streaming path on huge inputs.
+    approximate. Pass ``exact_max_rows=None`` to force the exact path
+    at ANY size (the explicit oracle/audit flag — O(B^2) full
+    materialization, never the default at embedding scale), or
+    ``exact_max_rows=0`` for the pure streaming LSH path with no
+    materialization and no count probe. The adaptive probe counts the
+    column-pruned projection after materializing it ONCE (no double
+    execution of the upstream plan).
     """
     if exact_max_rows is not None and exact_max_rows <= 0:
         # pure streaming path: no materialization, no count probe
@@ -389,16 +392,17 @@ def lsh_cosine_topk(
                     for bit in bits:
                         m |= 1 << bit
                     probe_set.add(b ^ m)
-    probe_ref = ray.put(probe_set)
+    # broadcast a SORTED bucket array so the probe filter is one
+    # vectorized np.isin per batch, not a per-row Python set probe
+    probe_ref = ray.put(np.array(sorted(probe_set), dtype=np.int64))
 
     def flt(tbl: pa.Table) -> pa.Table:
         ps = ray.get(probe_ref)
         X = _matrix(tbl, vector_column)
         if X.shape[0] == 0:
             return tbl
-        bk = bucket_of(_normalize(X))
-        mask = np.fromiter((int(b) in ps for b in bk), dtype=bool,
-                           count=len(bk))
+        bk = bucket_of(_normalize(X)).astype(np.int64)
+        mask = np.isin(bk, ps, assume_unique=False)
         return tbl.filter(pa.array(mask))
 
     candidates = ds.map_batches(flt, batch_format="pyarrow",

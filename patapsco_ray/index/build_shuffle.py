@@ -417,7 +417,7 @@ def build_index_shuffle(
     id_column: str = "url",
     text_column: str = "text",
     html_column: str | None = "html",
-    rows_per_block: int = 250_000,
+    rows_per_block: int | None = None,
     salt_range_rows: int = 1 << 20,
     concurrency: int | tuple[int, int] | None = None,
     vectorize: bool | None = None,
@@ -445,23 +445,28 @@ def build_index_shuffle(
         avail = int(ray.cluster_resources().get("CPU", 4))
         concurrency = max(1, avail)
     pool = concurrency if isinstance(concurrency, int) else concurrency[1]
-    # adaptive block size: a 250k default at 3M rows yields only 12
-    # blocks — most of a 32-slot pool would idle. Shrink blocks (never
-    # below 25k rows) until every slot sees >= 2 blocks; parquet
-    # footer row counts make the total a metadata-only read.
-    total_rows = 0
-    flat_paths = ([paths] if isinstance(paths, (str, bytes)) else
-                  list(paths))
-    import pathlib as _pl
+    # adaptive block size (DEFAULT only — an explicit rows_per_block
+    # from the caller is honored verbatim, e.g. tiny test blocks that
+    # must exercise multi-block merging): a 250k default at 3M rows
+    # yields only 12 blocks — most of a 32-slot pool would idle.
+    # Shrink blocks (never below 25k rows) until every slot sees >= 2
+    # blocks; parquet footer row counts make the total a metadata-only
+    # read.
+    if rows_per_block is None:
+        rows_per_block = 250_000
+        total_rows = 0
+        flat_paths = ([paths] if isinstance(paths, (str, bytes)) else
+                      list(paths))
+        import pathlib as _pl
 
-    for p in flat_paths:
-        pp = _pl.Path(p)
-        files = sorted(pp.glob("*.parquet")) if pp.is_dir() else [pp]
-        for f in files:
-            total_rows += pq.ParquetFile(f).metadata.num_rows
-    if total_rows:
-        rows_per_block = max(
-            25_000, min(rows_per_block, total_rows // (2 * pool) or 1))
+        for p in flat_paths:
+            pp = _pl.Path(p)
+            files = sorted(pp.glob("*.parquet")) if pp.is_dir() else [pp]
+            for f in files:
+                total_rows += pq.ParquetFile(f).metadata.num_rows
+        if total_rows:
+            rows_per_block = max(
+                25_000, min(rows_per_block, total_rows // (2 * pool) or 1))
     blocks = plan_segments(paths, rows_per_block)
     base = 0
     items = []

@@ -233,6 +233,20 @@ def test_minhash_finds_true_neardups(docs_ds):
     assert truth <= found
 
 
+def test_minhash_semi_join_path_matches_broadcast(docs_ds):
+    """broadcast_max_ids=0 forces the hash-partitioned left_semi join
+    (the no-driver-ceiling path for dup-heavy corpora); its output
+    must be identical to the broadcast fast path."""
+    want = minhash_lsh_pairs(docs_ds, threshold=0.5).to_pandas(
+    ).sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    got = minhash_lsh_pairs(
+        docs_ds, threshold=0.5, broadcast_max_ids=0,
+        semi_join_partitions=4).to_pandas().sort_values(
+        ["id_a", "id_b"]).reset_index(drop=True)
+    assert len(want) > 0
+    assert (got.values == want.values).all()
+
+
 def test_simhash_identical_docs(ray_session):
     tbl = pa.table({
         "doc_id": [1, 2, 3],
@@ -355,6 +369,25 @@ def test_cosine_neardup_lsh_path(emb_ds):
         assert len(found & strong) >= 0.9 * len(strong)
     # no duplicate pairs across tables
     assert len(got) == len(found)
+
+
+def test_cosine_neardup_adaptive_default_switches(emb_ds, caplog):
+    """Above exact_max_rows the DEFAULT behavior must switch to the
+    approximate LSH path (with a loud warning) instead of running the
+    O(B^2) exact matmul — the scale-safe default."""
+    import logging
+
+    with caplog.at_level(logging.WARNING,
+                         logger="patapsco_ray.functions.similarity"):
+        got = cosine_neardup_pairs(
+            emb_ds, threshold=0.4, exact_max_rows=5,
+            planes=4, num_tables=8).to_pandas()
+    assert any("APPROXIMATE LSH path" in r.message for r in caplog.records)
+    exact = cosine_neardup_pairs(
+        emb_ds, threshold=0.4, exact_max_rows=None).to_pandas()
+    truth = set(zip(exact["id_a"], exact["id_b"]))
+    found = set(zip(got["id_a"], got["id_b"]))
+    assert found and found <= truth
 
 
 def test_ivf_topk_full_probe_is_exact(emb_ds):
