@@ -548,6 +548,7 @@ def minhash_lsh_pairs(
     broadcast_max_ids: int = 5_000_000,
     semi_join_partitions: int = 64,
     target_group_rows: int = 65_536,
+    sig_broadcast_max_bytes: int = 256 << 20,
 ) -> ray.data.Dataset:
     """MinHash+LSH near-duplicate pairs.
 
@@ -561,19 +562,28 @@ def minhash_lsh_pairs(
     per band (the naive layout ships ~16 KB/doc at the defaults and
     was measured unrunnable at 3M docs). Verification then recomputes
     signatures ONCE per CANDIDATE id (near-dup candidates are a small
-    fraction of the corpus). Every per-pair step is vectorized over
-    COARSE hash partitions — candidate-pair dedup, signature attach
-    (``pc.index_in`` against the partition's sig rows) and the final
-    signature compare (one numpy equality reduction per partition) pay
-    one Python call per partition, never per pair. Candidate ids reach
-    the corpus adaptively: ``<= broadcast_max_ids`` distinct ids are
-    broadcast ONCE via ``ray.put`` and probed per batch (the small-side
-    fast path — no corpus shuffle); above that a hash-partitioned
-    ``left_semi`` join (corpus x candidate ids, ``semi_join_partitions``
-    way) runs instead, so there is NO driver-memory ceiling — dup-heavy
-    corpora degrade to one extra corpus shuffle, never a failure.
-    ``target_group_rows`` sizes the verify partitions (each holds
-    ~that many 1 KB sig rows per task).
+    fraction of the corpus). Every per-pair step is vectorized —
+    there is no per-pair Python anywhere — and every small-side step
+    is SCALE-ADAPTIVE with a distributed fallback:
+
+    - candidate-pair dedup: coarse hash partitions, one vectorized
+      sort + neighbor pass per partition;
+    - candidate ids: driver ``pc.unique`` over the bounded pair set
+      when ``2*n_pairs <= broadcast_max_ids``, else a distributed
+      coarse-partition unique;
+    - id -> corpus: ids broadcast ONCE via ``ray.put`` and probed per
+      batch when ``<= broadcast_max_ids`` (no corpus shuffle), else a
+      hash-partitioned ``left_semi`` join (``semi_join_partitions``
+      way) — NO driver-memory ceiling, dup-heavy corpora degrade to
+      one extra corpus shuffle, never a failure;
+    - verify: when the candidate sig matrix fits
+      ``sig_broadcast_max_bytes`` (256 MB ~= 250k candidate ids at
+      the defaults) it is broadcast and every pair verified in ONE
+      vectorized map over the pair set (zero extra shuffles); above
+      that, two coarse-partitioned groupbys attach sigs to pair sides
+      (``pc.index_in``) and compare stacked signature matrices with
+      one numpy equality reduction per partition
+      (``target_group_rows`` sig rows per task).
     """
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
@@ -631,24 +641,41 @@ def minhash_lsh_pairs(
     if n_pairs == 0:
         return ray.data.from_arrow(est_schema.empty_table())
 
-    # ---- distinct candidate ids (distributed, vectorized) ----
-    def both_sides(tbl: pa.Table) -> pa.Table:
-        if tbl.num_rows == 0:
-            return pa.table({"cid": pa.array([], idt),
-                             "part": pa.array([], pa.int64())})
-        cid = pa.concat_arrays([
-            tbl.column("id_a").combine_chunks(),
-            tbl.column("id_b").combine_chunks()])
-        return pa.table({"cid": cid,
-                         "part": _hash_part(cid, _DISTINCT_PARTS, seed=11)})
+    # ---- distinct candidate ids ----
+    # 2*n_pairs bounds the distinct-id count, so when that fits under
+    # broadcast_max_ids the distinct ids come from ONE driver-side
+    # pc.unique over the (already materialized, bounded) pair set — no
+    # extra shuffle round. Above the bound, a distributed
+    # coarse-partition unique runs instead (no driver ceiling).
+    wanted: pa.Array | None = None
+    cand_ids: ray.data.Dataset | None = None
+    if 2 * n_pairs <= broadcast_max_ids:
+        wanted = pc.unique(pa.concat_arrays(
+            [b.column(c).combine_chunks()
+             for b in cand.iter_batches(batch_format="pyarrow")
+             if b.num_rows
+             for c in ("id_a", "id_b")]))
+        n_ids = len(wanted)
+    else:
+        def both_sides(tbl: pa.Table) -> pa.Table:
+            if tbl.num_rows == 0:
+                return pa.table({"cid": pa.array([], idt),
+                                 "part": pa.array([], pa.int64())})
+            cid = pa.concat_arrays([
+                tbl.column("id_a").combine_chunks(),
+                tbl.column("id_b").combine_chunks()])
+            return pa.table({
+                "cid": cid,
+                "part": _hash_part(cid, _DISTINCT_PARTS, seed=11)})
 
-    def uniq(grp: pa.Table) -> pa.Table:
-        return pa.table({"cid": grp.column("cid").combine_chunks().unique()})
+        def uniq(grp: pa.Table) -> pa.Table:
+            return pa.table(
+                {"cid": grp.column("cid").combine_chunks().unique()})
 
-    cand_ids = (cand.map_batches(both_sides, batch_format="pyarrow")
-                .groupby("part").map_groups(uniq, batch_format="pyarrow")
-                .materialize())
-    n_ids = cand_ids.count()
+        cand_ids = (cand.map_batches(both_sides, batch_format="pyarrow")
+                    .groupby("part").map_groups(uniq, batch_format="pyarrow")
+                    .materialize())
+        n_ids = cand_ids.count()
 
     # ---- recompute sigs for candidate docs only ----
     sig_type = pa.list_(pa.int64(), num_perm)
@@ -657,9 +684,11 @@ def minhash_lsh_pairs(
     if n_ids <= broadcast_max_ids:
         # small side: broadcast the id array ONCE (ray.put), probe per
         # batch with pyarrow's hash lookup — no corpus shuffle
-        wanted_ref = ray.put(pa.concat_arrays([
-            b.column("cid").combine_chunks()
-            for b in cand_ids.iter_batches(batch_format="pyarrow")]))
+        if wanted is None:
+            wanted = pa.concat_arrays([
+                b.column("cid").combine_chunks()
+                for b in cand_ids.iter_batches(batch_format="pyarrow")])
+        wanted_ref = ray.put(wanted)
 
         def filter_docs(tbl: pa.Table) -> pa.Table:
             idx = pc.index_in(tbl.column(id_column),
@@ -688,6 +717,51 @@ def minhash_lsh_pairs(
         return out.cast(sig_schema)
 
     sig_rows = cand_docs.map_batches(compute_sigs, batch_format="pyarrow")
+
+    if n_ids * num_perm * 8 <= sig_broadcast_max_bytes:
+        # ---- bounded small-side verify (the common case: near-dup
+        # candidates are a tiny corpus fraction) ----
+        # collect the candidate sig matrix once (cap
+        # sig_broadcast_max_bytes, default 256 MB), broadcast it, and
+        # verify EVERY pair in one vectorized map over the pair set —
+        # zero additional shuffle rounds. Above the cap the
+        # coarse-partitioned attach/compare below runs instead.
+        ids_parts, mats = [], []
+        for b in sig_rows.iter_batches(batch_format="pyarrow"):
+            if b.num_rows == 0:
+                continue
+            ids_parts.append(b.column("id").combine_chunks())
+            mats.append(b.column("sig").combine_chunks().flatten()
+                        .to_numpy(zero_copy_only=False)
+                        .reshape(b.num_rows, num_perm))
+        if not ids_parts:
+            return ray.data.from_arrow(est_schema.empty_table())
+        sig_ref = ray.put((pa.concat_arrays(ids_parts), np.vstack(mats)))
+
+        def verify_small(tbl: pa.Table) -> pa.Table:
+            if tbl.num_rows == 0:
+                return est_schema.empty_table()
+            sid, mat = ray.get(sig_ref)
+            ia = pc.index_in(tbl.column("id_a"), value_set=sid)
+            ib = pc.index_in(tbl.column("id_b"), value_set=sid)
+            ok = pc.and_(pc.is_valid(ia), pc.is_valid(ib))
+            t = tbl.filter(ok)
+            if t.num_rows == 0:
+                return est_schema.empty_table()
+            iav = ia.filter(ok).to_numpy(zero_copy_only=False)
+            ibv = ib.filter(ok).to_numpy(zero_copy_only=False)
+            agree = (mat[iav] == mat[ibv]).mean(axis=1)
+            keep = agree >= threshold
+            t = t.filter(pa.array(keep))
+            return pa.table({
+                "id_a": t.column("id_a"),
+                "id_b": t.column("id_b"),
+                "est_jaccard_1e6": pa.array(_scaled(agree[keep])),
+            }, schema=est_schema)
+
+        return cand.map_batches(
+            verify_small, batch_format="pyarrow"
+        ).map_batches(_pin(est_schema), batch_format="pyarrow")
 
     # ---- vectorized attach + compare over coarse partitions ----
     # partition counts sized so one group holds ~target_group_rows

@@ -247,6 +247,20 @@ def test_minhash_semi_join_path_matches_broadcast(docs_ds):
     assert (got.values == want.values).all()
 
 
+def test_minhash_partitioned_verify_matches_small_path(docs_ds):
+    """sig_broadcast_max_bytes=0 forces the coarse-partitioned
+    attach/compare verify (the above-256MB scale path); it must be
+    identical to the broadcast small-side verify."""
+    want = minhash_lsh_pairs(docs_ds, threshold=0.5).to_pandas(
+    ).sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    got = minhash_lsh_pairs(
+        docs_ds, threshold=0.5, sig_broadcast_max_bytes=0,
+        target_group_rows=16).to_pandas().sort_values(
+        ["id_a", "id_b"]).reset_index(drop=True)
+    assert len(want) > 0
+    assert (got.values == want.values).all()
+
+
 def test_simhash_identical_docs(ray_session):
     tbl = pa.table({
         "doc_id": [1, 2, 3],
