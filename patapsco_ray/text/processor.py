@@ -50,8 +50,22 @@ class TextProcessor:
         self.config = config
         self.lang = lang
         self.normalizer = Normalizer(lowercase=config.lowercase)
-        self.tokenizer = create_tokenizer(config.tokenize, lang)
-        self.stemmer = create_stemmer(config.stem, lang) if config.stem else None
+        # spacy/stanza are full pipelines: ONE object serves both the
+        # tokenizer and stemmer roles (reference text.py:477-482,
+        # 518-519), so lemmas come from the doc the tokenize call
+        # analyzed. Validation mirrors reference text.py:455-461.
+        if config.stem and config.tokenize == "ngram":
+            raise ValueError("ngram tokenizer not compatible with "
+                             "stemming (reference text.py:456-457)")
+        shared = (config.stem in ("spacy", "stanza")
+                  and config.stem == config.tokenize)
+        self.tokenizer = create_tokenizer(config.tokenize, lang,
+                                          stem=shared)
+        if shared:
+            self.stemmer = self.tokenizer
+        else:
+            self.stemmer = (create_stemmer(config.stem, lang)
+                            if config.stem else None)
         self.stopword_remover = (
             StopWordsRemover(
                 config.stopwords if isinstance(config.stopwords, str) else "lucene",

@@ -436,14 +436,26 @@ class CachedStemmer:
         return out
 
 
+_warned_fallback: set[str] = set()
+
+
 def create_stemmer(name, lang: str):
     """Stemmer registry (reference text.py:500-524 seam).
 
-    ``False``/``None`` -> no stemmer. "porter" -> PorterStemmer.
-    "spacy" -> the spaCy model lemmatizer when importable, else the
-    rule-based :class:`EnglishLemmatizer` fallback (eng only — other
-    languages still raise, as does "stanza", since their trained
-    pipelines cannot be approximated offline).
+    ``False``/``None`` -> no stemmer. "porter" -> PorterStemmer,
+    "parsivar" -> FarsiStemmer. "spacy"/"stanza" are FULL-PIPELINE
+    stemmers in the reference — the factory returns the tokenizer
+    object itself (text.py:518-519), so standalone construction here
+    only happens when the tokenizer is NOT the matching pipeline:
+
+    - library importable -> raise: the reference requires
+      ``tokenize == stem`` for these (text.py:457-461 validation), so
+      asking for a standalone model stemmer is a config error;
+    - library absent + eng -> the rule-based
+      :class:`EnglishLemmatizer` with a ONE-TIME warning that this is
+      a deterministic non-parity fallback (indexes built with it are
+      not token-compatible with model-built ones);
+    - otherwise -> NotImplementedError citing the seam.
     """
     if not name:
         return None
@@ -451,15 +463,31 @@ def create_stemmer(name, lang: str):
         return CachedStemmer(PorterStemmer(lang))
     if name == "parsivar":
         return CachedStemmer(FarsiStemmer(lang))
-    if name == "spacy":
-        try:  # pragma: no cover - spacy absent in this environment
-            import spacy  # noqa: F401
-
-            # a real deployment would load the per-language pipeline
-            # once per actor here (reference text.py:344-386)
+    if name in ("spacy", "stanza"):
+        try:
+            __import__(name)
         except ImportError:
-            return CachedStemmer(EnglishLemmatizer(lang))
-    raise NotImplementedError(
-        f"stemmer '{name}' requires an NLP model dependency not available "
-        "in this environment (reference text.py:163-386 seam)"
-    )
+            if name == "spacy" and lang == "eng":
+                if lang not in _warned_fallback:
+                    _warned_fallback.add(lang)
+                    import warnings
+
+                    warnings.warn(
+                        "spaCy is not installed: 'stem: spacy' (eng) "
+                        "falls back to the rule-based EnglishLemmatizer "
+                        "— deterministic but NOT model-parity; indexes "
+                        "are token-incompatible with spaCy-built ones",
+                        RuntimeWarning, stacklevel=2)
+                return CachedStemmer(EnglishLemmatizer(lang))
+            raise NotImplementedError(
+                f"stemmer '{name}' ({lang}) requires the {name} package "
+                "and model, not available in this environment "
+                "(reference text.py:163-386 seam)"
+            ) from None
+        raise ValueError(
+            f"'{name}' lemmatization runs inside the {name} tokenizer "
+            f"pipeline: set tokenize='{name}' together with "
+            f"stem='{name}' (reference text.py:457-461 requires it; "
+            "the factory then shares one pipeline object)"
+        )
+    raise ValueError(f"Unknown stemmer: {name}")

@@ -184,18 +184,19 @@ TOKENIZERS = {
     "jieba": JiebaTokenizer,
 }
 
-# Seams for model-based tokenizers (reference text.py:430-524 validation
-# matrix). They raise at construction: the models aren't shipped here
-# and cannot be approximated without their trained pipelines.
-_UNAVAILABLE = {"spacy", "stanza"}
+def create_tokenizer(name: str, lang: str, model_path=None,
+                     stem: bool = False):
+    """Tokenizer registry (reference text.py:463-496).
 
-
-def create_tokenizer(name: str, lang: str, model_path=None):
+    'spacy'/'stanza' construct the REAL model pipeline when the
+    library is importable (``stem=True`` mirrors the reference's
+    shared tokenizer+stemmer object, text.py:477-482) and raise
+    ``NotImplementedError`` with the citation when it is not.
+    """
     if name in TOKENIZERS:
         return TOKENIZERS[name](lang, model_path)
-    if name in _UNAVAILABLE:
-        raise NotImplementedError(
-            f"tokenizer '{name}' requires an NLP model not available in "
-            "this environment (reference text.py:98-386 seam)"
-        )
+    if name in ("spacy", "stanza"):
+        from .nlp import create_nlp
+
+        return create_nlp(name, lang, model_path, stem=stem)
     raise ValueError(f"Unknown tokenizer: {name}")
