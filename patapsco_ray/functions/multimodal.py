@@ -98,8 +98,9 @@ def png_decode(data: bytes) -> np.ndarray:
     """Decode an 8-bit non-interlaced PNG -> (h, w, c) uint8 array.
 
     Pure zlib + numpy: IHDR/IDAT walk, inflate, then scanline
-    unfiltering (all five PNG filter types; Sub/Up vectorized, the
-    rare Average/Paeth rows fall back to a per-byte loop).
+    unfiltering (all five PNG filter types; None/Sub/Up vectorized —
+    Sub as a per-lane prefix sum — Average/Paeth rows fall back to a
+    per-byte loop, the genuinely sequential left+above recurrences).
     """
     if not data.startswith(_PNG_SIG):
         raise ValueError("not a PNG (bad signature)")
@@ -142,10 +143,12 @@ def png_decode(data: bytes) -> np.ndarray:
             stride, dtype=np.int64)
         if f == 0:
             line = cur
-        elif f == 1:  # Sub: sequential along the row, per byte-lane
-            line = cur.copy()
-            for x in range(bpp, stride):
-                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif f == 1:  # Sub: per byte-lane prefix sum, mod 256
+            # recon[x] = raw[x] + recon[x-bpp] telescopes to a running
+            # sum over each byte lane; int64 cumsum then & 0xFF is the
+            # mod-256 wraparound (libpng's most common filter — keep
+            # it vectorized, not a per-byte loop)
+            line = cur.reshape(width, bpp).cumsum(axis=0).ravel() & 0xFF
         elif f == 2:  # Up
             line = (cur + prev) & 0xFF
         elif f == 3:  # Average
