@@ -359,6 +359,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["rm3_topk"] = rm3
 
+    def rm3_distributed(sf: str):
+        # the SAME RM3 retrieval through the query-partitioned Ray
+        # Data path (search_dataset mode="rm3": actor-held searcher +
+        # doc store, two-pass expansion fans out with the query
+        # partition) — must be hash-identical to rm3_topk, and shares
+        # its full-derivation SQL oracle
+        idx = _index_for(sf)
+        store_dir = _CACHE_ROOT / (
+            re.sub(r"[^A-Za-z0-9._-]", "_", str(sf).strip("/")) + "-store-v1"
+        )
+        if not (store_dir / ".complete").exists():
+            proc = process_documents(
+                _docs(sf), text_config=SQL_TEXT_CONFIG,
+                id_column="doc_id", html_column=None,
+            )
+            write_doc_store(proc, store_dir, num_buckets=8)
+            (store_dir / ".complete").touch()
+        from patapsco_ray.search import search_dataset
+
+        qtbl = pa.table({
+            "query_id": pa.array([q for q, _ in RETRIEVAL_QUERIES]),
+            "query": pa.array([t for _, t in RETRIEVAL_QUERIES]),
+        })
+        tbl = search_dataset(
+            qtbl, idx, k=TOP_K + 16, mode="rm3",
+            doc_store_dir=str(store_dir), concurrency=(1, 4), batch_size=1,
+        ).to_arrow_refs()
+        tbl = pa.concat_tables(ray.get(tbl))
+        return _rank_rounded(tbl, TOP_K)
+
+    q["rm3_distributed_topk"] = rm3_distributed
+
     def rm3_weighted(sf: str):
         # score the FROZEN expanded query models (see
         # RM3_EXPANDED_QUERIES provenance) — weighted BM25 over exact
@@ -1352,6 +1384,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                   b.embedding::DOUBLE[]) >= 0.4""",
         "rm3_topk": _rm3_sql(),
+        # the distributed path must produce byte-identical results, so
+        # it shares the full-derivation oracle
+        "rm3_distributed_topk": _rm3_sql(),
         "repetition_signals": f"""
             WITH toks AS ({_TOKS}),
             tf AS (SELECT doc_id, term, count(*) AS c

@@ -33,16 +33,70 @@ from .engine import DEFAULT_K, IndexSearcher, lookup_global_stats, process_query
 
 
 class _QuerySearcher:
-    def __init__(self, index_dir: str, k: int, **searcher_kwargs):
+    """Actor payload for query-partitioned search.
+
+    ``mode``:
+
+    - "plain": one batched two-phase search (global stats prefetched
+      once per batch).
+    - "rm3": pseudo-relevance feedback per query — the actor holds the
+      searcher AND a doc store, so the two-pass expansion (feedback
+      search -> term model from stored doc text -> weighted rescore,
+      reference retrieve.py:104-113) fans out with the query
+      partition instead of looping on the driver.
+    - "psq": each query string is the reference's PSQ clause syntax
+      (``psq AND (t1^p1 ...) AND ...``, topics.py:433-442), scored
+      with projected-statistics BM25.
+    """
+
+    def __init__(self, index_dir: str, k: int, mode: str = "plain",
+                 doc_store_dir: str | None = None,
+                 rm3_kwargs: dict | None = None, **searcher_kwargs):
         self.searcher = IndexSearcher(index_dir, **searcher_kwargs)
         self.k = k
+        self.mode = mode
+        self.rm3_kwargs = rm3_kwargs or {}
+        if mode == "rm3":
+            if doc_store_dir is None:
+                raise ValueError(
+                    "mode='rm3' needs doc_store_dir (RM3 feedback reads "
+                    "document text from the doc store)")
+            from ..stages.docstore import DocStore
+
+            self.store = DocStore(doc_store_dir)
+        elif mode not in ("plain", "psq"):
+            raise ValueError(f"unknown search mode {mode!r}")
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         queries = list(zip(
             [str(q) for q in tbl.column("query_id").to_pylist()],
             tbl.column("query").to_pylist(),
         ))
-        return self.searcher.search_batch(queries, k=self.k)
+        if self.mode == "plain":
+            return self.searcher.search_batch(queries, k=self.k)
+        if self.mode == "rm3":
+            from .rm3 import search_rm3
+
+            def run(text):
+                return search_rm3(self.searcher, self.store, text,
+                                  k=self.k, **self.rm3_kwargs)
+        else:  # psq
+            def run(text):
+                return self.searcher.search_psq(text, k=self.k)
+
+        out_q, out_d, out_r, out_s = [], [], [], []
+        for qid, text in queries:
+            for hit in run(text):
+                out_q.append(qid)
+                out_d.append(hit["doc_id"])
+                out_r.append(hit["rank"])
+                out_s.append(hit["score"])
+        return pa.table({
+            "query_id": pa.array(out_q, pa.string()),
+            "doc_id": pa.array(out_d, pa.string()),
+            "rank": pa.array(out_r, pa.int32()),
+            "score": pa.array(out_s, pa.float64()),
+        })
 
 
 def search_dataset(
@@ -52,10 +106,16 @@ def search_dataset(
     k: int = DEFAULT_K,
     concurrency: int | tuple[int, int] = (1, 8),
     batch_size: int = 32,
+    mode: str = "plain",
+    doc_store_dir: str | None = None,
+    rm3_kwargs: dict | None = None,
     **searcher_kwargs,
 ) -> ray.data.Dataset:
     """Query-partitioned distributed search; input needs columns
-    (query_id, query); output is the flat results table."""
+    (query_id, query); output is the flat results table
+    (query_id, doc_id, rank, score). ``mode`` selects plain batched
+    search, per-query RM3 expansion (needs ``doc_store_dir``), or PSQ
+    clause scoring — see :class:`_QuerySearcher`."""
     if isinstance(queries, pa.Table):
         queries = ray.data.from_arrow(queries)
     # a small query table often arrives as ONE block; map_batches
@@ -74,6 +134,9 @@ def search_dataset(
     return queries.map_batches(
         _QuerySearcher,
         fn_constructor_kwargs={"index_dir": index_dir, "k": k,
+                               "mode": mode,
+                               "doc_store_dir": doc_store_dir,
+                               "rm3_kwargs": rm3_kwargs,
                                **searcher_kwargs},
         batch_format="pyarrow",
         batch_size=batch_size,

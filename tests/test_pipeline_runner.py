@@ -124,6 +124,69 @@ def test_search_by_segment_matches_local(small_index):
                 zip(got["doc_id"], got["score"])] == want
 
 
+@pytest.fixture(scope="module")
+def doc_store(corpus_dir, tmp_path_factory):
+    import ray
+
+    from patapsco_ray.stages import process_documents, write_doc_store
+
+    store = tmp_path_factory.mktemp("dist_store") / "store"
+    proc = process_documents(
+        ray.data.read_parquet(corpus_dir),
+        text_config=TextConfig(stem="porter"), id_column="url")
+    write_doc_store(proc, store, num_buckets=4)
+    return str(store)
+
+
+def test_search_dataset_rm3_matches_driver_loop(small_index, doc_store):
+    """mode='rm3' fans the two-pass feedback expansion out with the
+    query partition; results must equal the single-process
+    search_rm3 loop exactly."""
+    from patapsco_ray.search.rm3 import search_rm3
+    from patapsco_ray.stages import DocStore
+
+    queries = pa.table({
+        "query_id": ["a", "b"],
+        "query": ["world state people", "work life year"],
+    })
+    dist = search_dataset(queries, small_index, k=10, mode="rm3",
+                          doc_store_dir=doc_store,
+                          concurrency=2).to_pandas()
+    local = IndexSearcher(small_index)
+    store = DocStore(doc_store)
+    for qid, qtext in zip(queries.column("query_id").to_pylist(),
+                          queries.column("query").to_pylist()):
+        want = [(h["doc_id"], h["rank"], round(h["score"], 9))
+                for h in search_rm3(local, store, qtext, k=10)]
+        got = dist[dist["query_id"] == qid].sort_values("rank")
+        assert [(d, r, round(s, 9)) for d, r, s in
+                zip(got["doc_id"], got["rank"], got["score"])] == want
+
+
+def test_search_dataset_psq_matches_local(small_index):
+    """mode='psq': each query string is the reference PSQ clause
+    syntax, scored with projected-statistics BM25 per actor."""
+    q1 = "psq AND (world^0.7 state^0.3) AND (people^1.0)"
+    q2 = "psq AND (work^0.5 life^0.5)"
+    queries = pa.table({"query_id": ["p1", "p2"], "query": [q1, q2]})
+    dist = search_dataset(queries, small_index, k=10, mode="psq",
+                          concurrency=2).to_pandas()
+    local = IndexSearcher(small_index)
+    for qid, qtext in (("p1", q1), ("p2", q2)):
+        want = [(h["doc_id"], h["rank"], round(h["score"], 9))
+                for h in local.search_psq(qtext, k=10)]
+        got = dist[dist["query_id"] == qid].sort_values("rank")
+        assert [(d, r, round(s, 9)) for d, r, s in
+                zip(got["doc_id"], got["rank"], got["score"])] == want
+
+
+def test_search_dataset_rm3_requires_store(small_index):
+    queries = pa.table({"query_id": ["a"], "query": ["world"]})
+    with pytest.raises(Exception, match="doc_store_dir"):
+        search_dataset(queries, small_index, mode="rm3",
+                       concurrency=1).materialize()
+
+
 def test_runner_topics_to_scores_clir_loop(corpus_dir, tmp_path):
     """Full reference-shaped run: JSONL topics -> field join -> retrieve
     -> TREC run -> qrels scoring, all through the config surface."""
