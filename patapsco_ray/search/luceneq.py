@@ -1,10 +1,10 @@
-"""Minimal Lucene-syntax query support: boosts, +/- flags, AND/OR.
+"""Lucene-syntax query support: boosts, +/- flags, AND/OR, grouping.
 
 Reference surface: ``query.parse: true`` runs the query through
 Lucene's QueryParser + a luqum AST transformer
 (/root/reference/patapsco/topics.py:362-414); the default config is
 parse=False (schema.py:124), so plain bag-of-words is the primary
-path. This module covers the commonly used subset:
+path. This module covers the parser's practical surface:
 
 - ``term^2.5``  boost (weight multiplies the term's BM25 contribution,
   Lucene BoostQuery semantics)
@@ -13,6 +13,13 @@ path. This module covers the commonly used subset:
 - ``a AND b``   both become required
 - ``a OR b`` / plain juxtaposition — optional (SHOULD); Lucene's
   default operator is OR
+- ``(a b)^2``, ``+(a b)``, ``-(a b)``, nesting — parenthesized
+  sub-queries are BooleanQuery clauses: a group matches per the
+  MUST/SHOULD/MUST_NOT rules over its children, its boost multiplies
+  every inner contribution, and a document's score counts ONLY the
+  clauses it matches (Lucene's per-clause gating — a term inside a
+  non-matching group contributes nothing even when the document
+  contains it)
 - quoted phrases are NOT supported: the index is DOCS_AND_FREQS with
   no positions (reference index.py:52 — phrase queries are impossible
   there too); a phrase query returns empty results, matching the
@@ -25,6 +32,7 @@ topics.py:393-414).
 
 from __future__ import annotations
 
+import dataclasses
 import re
 from dataclasses import dataclass
 
@@ -41,35 +49,75 @@ class QueryTerm:
     prohibited: bool = False
 
 
-_TOKEN_RE = re.compile(r'"[^"]*"|\S+')
+@dataclass(frozen=True)
+class QueryGroup:
+    """A parenthesized BooleanQuery clause (children are QueryTerm /
+    QueryGroup; MUST/SHOULD/MUST_NOT per child flags)."""
+
+    children: tuple
+    boost: float = 1.0
+    required: bool = False
+    prohibited: bool = False
 
 
-def parse_lucene_query(text: str, processor: TextProcessor
-                       ) -> list[QueryTerm] | None:
-    """Parse the subset; None signals an unsupported query (phrases),
-    which the caller maps to empty results."""
-    raw_tokens = _TOKEN_RE.findall(text)
-    terms: list[QueryTerm] = []
-    pending_and = False
-    for tok in raw_tokens:
+_TOKEN_RE = re.compile(r'"[^"]*"|\(|\)|[^\s()]+')
+_GROUP_BOOST_RE = re.compile(r"\^\d+(?:\.\d+)?$")
+
+
+class _PhraseError(Exception):
+    pass
+
+
+def _set_required(node):
+    if not node.prohibited:
+        return dataclasses.replace(node, required=True)
+    return node
+
+
+def _parse_clauses(tokens: list[str], i: int, processor: TextProcessor,
+                   depth: int) -> tuple[list, float, int]:
+    """Parse one clause list until EOF (depth 0) or the matching ')'.
+    Returns (children, group_boost, next_index)."""
+    children: list = []
+    pending = False  # False | True (AND) | "not" | "+" | "-"
+    while i < len(tokens):
+        tok = tokens[i]
+        i += 1
         if tok.startswith('"'):
-            return None  # phrases unsupported (no positions)
+            raise _PhraseError
+        if tok == ")":
+            if depth == 0:
+                continue  # stray close, ignore like Lucene's lenient mode
+            boost = 1.0
+            if i < len(tokens) and _GROUP_BOOST_RE.fullmatch(tokens[i]):
+                boost = float(tokens[i][1:])
+                i += 1
+            return children, boost, i
         if tok == "AND":
-            pending_and = True
-            # retroactively require the previous term (Lucene AND binds
-            # both operands)
-            if terms:
-                prev = terms[-1]
-                if not prev.prohibited:
-                    terms[-1] = QueryTerm(prev.term, prev.boost, True, False)
+            pending = True
+            # retroactively require the previous clause (Lucene AND
+            # binds both operands)
+            if children:
+                children[-1] = _set_required(children[-1])
             continue
-        if tok in ("OR", "NOT"):
-            if tok == "NOT":
-                pending_and = "not"
+        if tok == "OR":
+            pending = False
             continue
-        required = pending_and is True
-        prohibited = pending_and == "not"
-        pending_and = False
+        if tok == "NOT":
+            pending = "not"
+            continue
+        required = pending is True or pending == "+"
+        prohibited = pending in ("not", "-")
+        pending = False
+        if tok in ("+", "-"):  # unary prefix split off by '(' or space
+            pending = tok
+            continue
+        if tok == "(":
+            sub, gboost, i = _parse_clauses(tokens, i, processor, depth + 1)
+            if sub:
+                children.append(QueryGroup(tuple(sub), gboost,
+                                           required, prohibited))
+            continue
         if tok.startswith("+"):
             required, tok = True, tok[1:]
         elif tok.startswith("-"):
@@ -85,21 +133,138 @@ def parse_lucene_query(text: str, processor: TextProcessor
         if not processed:
             continue
         for t in processed.split():
-            terms.append(QueryTerm(t, boost, required, prohibited))
-    return terms
+            children.append(QueryTerm(t, boost, required, prohibited))
+    return children, 1.0, i
+
+
+def parse_lucene_query(text: str, processor: TextProcessor
+                       ) -> "list[QueryTerm] | QueryGroup | None":
+    """Parse a Lucene query. Returns a flat ``list[QueryTerm]`` when
+    the query has no grouping (the historical contract), a
+    :class:`QueryGroup` tree when parentheses appear, and None for
+    unsupported queries (phrases), which the caller maps to empty
+    results."""
+    raw_tokens = _TOKEN_RE.findall(text)
+    try:
+        children, _, _ = _parse_clauses(raw_tokens, 0, processor, 0)
+    except _PhraseError:
+        return None
+    if any(isinstance(c, QueryGroup) for c in children):
+        return QueryGroup(tuple(children))
+    return children
+
+
+def _tree_terms(node) -> set[str]:
+    if isinstance(node, QueryTerm):
+        return {node.term}
+    out: set[str] = set()
+    for c in node.children:
+        out |= _tree_terms(c)
+    return out
+
+
+def _eval_node(node, ss, rows, scorer, gstats
+               ) -> tuple[np.ndarray, np.ndarray]:
+    """Dense (match, score) for one AST node over a segment.
+
+    Lucene BooleanQuery semantics: with MUST children a document
+    matches iff it matches ALL of them (SHOULD optional); otherwise
+    iff it matches >=1 SHOULD child; MUST_NOT children exclude.
+    Scores sum the matching MUST+SHOULD children's scores — child
+    scores are already zeroed outside the child's own match, and the
+    group zeroes its sum outside the group match, which is exactly
+    Lucene's per-clause gating. Group boost multiplies the sum."""
+    from ..index.codec import decode_postings
+
+    ndocs = ss.ndocs
+    if isinstance(node, QueryTerm):
+        match = np.zeros(ndocs, dtype=bool)
+        score = np.zeros(ndocs, dtype=np.float64)
+        row = rows.get(node.term)
+        if row is not None and node.term in gstats:
+            df, cf = gstats[node.term]
+            stat = df if hasattr(scorer, "idf") else cf
+            ords, tfs = decode_postings(
+                row["postings"], row["block_offsets"], row["block_counts"])
+            if ss.quantize_norms:
+                contrib = scorer.score_postings(
+                    tfs, ss.norms[ords], stat, node.boost)
+            else:
+                contrib = scorer.score_postings_dl(
+                    tfs, ss.lens[ords], stat, node.boost)
+            match[ords] = True
+            if not node.prohibited:
+                score[ords] = contrib
+        return match, score
+
+    must, should, must_not = [], [], []
+    for c in node.children:
+        (must_not if c.prohibited else must if c.required else should
+         ).append(c)
+    score = np.zeros(ndocs, dtype=np.float64)
+    if must:
+        match = np.ones(ndocs, dtype=bool)
+        for c in must:
+            m, s = _eval_node(c, ss, rows, scorer, gstats)
+            match &= m
+            score += s
+        for c in should:
+            _, s = _eval_node(c, ss, rows, scorer, gstats)
+            score += s
+    elif should:
+        match = np.zeros(ndocs, dtype=bool)
+        for c in should:
+            m, s = _eval_node(c, ss, rows, scorer, gstats)
+            match |= m
+            score += s
+    else:
+        match = np.zeros(ndocs, dtype=bool)
+    for c in must_not:
+        m, _ = _eval_node(c, ss, rows, scorer, gstats)
+        match &= ~m
+    if node.boost != 1.0:
+        score *= node.boost
+    score[~match] = 0.0
+    return match, score
+
+
+def _search_tree(searcher, root: QueryGroup, k: int) -> list[dict]:
+    """Per-segment dense evaluation of a grouped query tree."""
+    from .engine import lookup_global_stats
+
+    all_terms = sorted(_tree_terms(root))
+    gstats = lookup_global_stats(searcher.index_dir, all_terms)
+    present = [t for t in all_terms if t in gstats]
+
+    def seg_fn(ss):
+        rows = ss.term_rows(present) if present else {}
+        match, score = _eval_node(root, ss, rows, searcher.scorer, gstats)
+        cand = np.flatnonzero(match)
+        if cand.size == 0:
+            return cand.astype(np.int64), np.empty(0, dtype=np.float64)
+        cscores = score[cand]
+        if cand.size > k:
+            order = np.lexsort((cand, -cscores))[:k]
+            cand, cscores = cand[order], cscores[order]
+        return cand.astype(np.int64), cscores
+
+    return searcher._merge_segments(seg_fn, k)
 
 
 def search_lucene(searcher, query_text: str, k: int | None = None
                   ) -> list[dict]:
     """Boolean/boost search over an IndexSearcher. Scoring is the sum
     of boost x per-term BM25/QLD over SHOULD+MUST terms; MUST terms
-    filter to docs containing all of them; MUST_NOT excludes."""
+    filter to docs containing all of them; MUST_NOT excludes. Grouped
+    queries evaluate the full BooleanQuery tree (see _eval_node)."""
     from .engine import DEFAULT_K, lookup_global_stats
 
     k = k or DEFAULT_K
     parsed = parse_lucene_query(query_text, searcher.processor)
     if not parsed:  # unsupported or empty -> empty results
         return []
+    if isinstance(parsed, QueryGroup):
+        return _search_tree(searcher, parsed, k)
     scoring = [qt for qt in parsed if not qt.prohibited]
     required = [qt.term for qt in parsed if qt.required]
     prohibited = [qt.term for qt in parsed if qt.prohibited]

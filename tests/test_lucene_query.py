@@ -78,3 +78,57 @@ def test_phrase_and_missing_required_empty(idx):
     s = IndexSearcher(idx)
     assert search_lucene(s, '"apple banana"', k=10) == []
     assert search_lucene(s, "+nonexistentterm apple", k=10) == []
+
+
+# ------------------------- nested grouping (reference topics.py:362-414)
+
+
+def test_parse_nested_group():
+    from patapsco_ray.search.luceneq import QueryGroup
+
+    proc = TextProcessor(TextConfig(stopwords=False, stem=False))
+    root = parse_lucene_query("(apple banana)^2 -cherry", proc)
+    assert isinstance(root, QueryGroup)
+    grp, neg = root.children
+    assert isinstance(grp, QueryGroup) and grp.boost == 2.0
+    assert [c.term for c in grp.children] == ["apple", "banana"]
+    assert neg.term == "cherry" and neg.prohibited
+
+
+def test_group_and_required(idx):
+    s = IndexSearcher(idx)
+    hits = search_lucene(s, "(apple OR cherry) AND banana", k=10)
+    assert {h["doc_id"] for h in hits} == {"1", "2", "3"}
+
+
+def test_required_group_with_exclusion(idx):
+    s = IndexSearcher(idx)
+    hits = search_lucene(s, "+(apple cherry) -banana", k=10)
+    assert {h["doc_id"] for h in hits} == {"4"}
+
+
+def test_group_boost_composes(idx):
+    s = IndexSearcher(idx)
+    plain = {h["doc_id"]: h["score"]
+             for h in search_lucene(s, "cherry", k=10)}
+    nested = {h["doc_id"]: h["score"]
+              for h in search_lucene(s, "((cherry^2))^3", k=10)}
+    assert set(nested) == set(plain)
+    for d, sc in nested.items():
+        assert sc == pytest.approx(6 * plain[d])
+
+
+def test_nonmatching_group_contributes_nothing(idx):
+    """Lucene per-clause gating: a term inside a group that does NOT
+    match a document adds no score even when the document contains
+    the term — and a document matching no top-level clause is not a
+    hit at all."""
+    s = IndexSearcher(idx)
+    hits = search_lucene(s, "(apple -cherry) durian", k=10)
+    # doc 1 contains apple but the group excludes cherry-docs, and it
+    # has no durian -> not a hit
+    assert {h["doc_id"] for h in hits} == {"2", "4", "5"}
+    apple_only = {h["doc_id"]: h["score"]
+                  for h in search_lucene(s, "apple", k=10)}
+    got2 = next(h["score"] for h in hits if h["doc_id"] == "2")
+    assert got2 == pytest.approx(apple_only["2"])
