@@ -189,15 +189,23 @@ def run_sf_ops(sf_dir: str) -> dict:
     import __ray_entry__ as entry
     from patapsco_ray.functions import minhash_lsh_pairs
 
+    from patapsco_ray.functions import near_dedup
+
     qs = entry.queries()
     qs["minhash_lsh_pairs"] = lambda sf: minhash_lsh_pairs(
         entry._docs(sf), threshold=0.5)
+    # the END-TO-END dedup chain (minhash pairs -> connected
+    # components -> surviving docs), not just the pair stage — the
+    # 100-TB workhorse path, timed so tail regressions are visible
+    qs["near_dedup"] = lambda sf: near_dedup(
+        entry._docs(sf), method="minhash", threshold=0.5)
     picks = [
         "bm25_topk",
         "token_counts",
         "quality_signals",
         "exact_duplicates",
         "minhash_lsh_pairs",
+        "near_dedup",
         "cosine_topk",
         "window_agg",
         "sessionize",
@@ -220,12 +228,63 @@ def run_sf_ops(sf_dir: str) -> dict:
     return out
 
 
+def run_scale_dedup(num_cpus: int) -> None:
+    """Web-scale dedup chain over the 3M-row bench corpus (or
+    BENCH_CORPUS_ROWS): minhash pair stage alone, then the full
+    minhash -> connected components -> keep chain. The sf0.1 ops suite
+    cannot see tail regressions in these stages (2k pairs vs millions
+    of band rows), so this mode is the regression gate for the
+    dedup-at-scale redesign (BASELINE.md round-3/4 notes)."""
+    import ray
+    import ray.data
+
+    sys.path.insert(0, str(REPO))
+    from patapsco_ray.functions import minhash_lsh_pairs, near_dedup
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False)
+    paths = ensure_corpus()
+    queries = {}
+
+    t0 = time.time()
+    docs = ray.data.read_parquet(paths, columns=["url", "text"])
+    pairs = minhash_lsh_pairs(docs, id_column="url", text_column="text",
+                              threshold=0.5).materialize()
+    queries["minhash_pairs_sec"] = round(time.time() - t0, 1)
+    queries["minhash_pairs_rows"] = pairs.count()
+
+    t0 = time.time()
+    docs = ray.data.read_parquet(paths, columns=["url", "text"])
+    kept = near_dedup(docs, method="minhash", id_column="url",
+                      text_column="text", threshold=0.5).materialize()
+    queries["near_dedup_sec"] = round(time.time() - t0, 1)
+    queries["near_dedup_kept"] = kept.count()
+    queries["corpus_rows"] = CORPUS_ROWS
+
+    print(json.dumps({
+        "metric": "web-scale dedup chain wall time",
+        "value": queries["near_dedup_sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": CORPUS_ROWS,
+        "num_cpus": num_cpus,
+    }))
+    ray.shutdown()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scale-dedup", action="store_true")
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--headline-only", action="store_true")
     args = ap.parse_args()
+
+    if args.scale_dedup:
+        run_scale_dedup(
+            args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+        return
 
     if args.scaling:
         n = int(os.environ.get("SCALE_N", "2"))
