@@ -122,6 +122,12 @@ def _parse_clauses(tokens: list[str], i: int, processor: TextProcessor,
             required, tok = True, tok[1:]
         elif tok.startswith("-"):
             prohibited, tok = True, tok[1:]
+        if tok.startswith("contents:"):
+            # the reference parses through Lucene's QueryParser with
+            # field 'contents' and its generator emits
+            # '+contents:term ...' strings (topics.py:392,407); accept
+            # that form transparently
+            tok = tok[len("contents:"):]
         boost = 1.0
         if "^" in tok:
             tok, _, b = tok.rpartition("^")

@@ -95,6 +95,15 @@ def test_parse_nested_group():
     assert neg.term == "cherry" and neg.prohibited
 
 
+def test_contents_field_prefix():
+    """The reference generator emits '+contents:term' strings
+    (topics.py:392,407) — accepted transparently."""
+    proc = TextProcessor(TextConfig(stopwords=False, stem=False))
+    qts = parse_lucene_query("+contents:apple contents:banana^2", proc)
+    assert [(q.term, q.boost, q.required) for q in qts] == [
+        ("apple", 1.0, True), ("banana", 2.0, False)]
+
+
 def test_group_and_required(idx):
     s = IndexSearcher(idx)
     hits = search_lucene(s, "(apple OR cherry) AND banana", k=10)
