@@ -247,20 +247,50 @@ def run_scale_dedup(num_cpus: int) -> None:
     paths = ensure_corpus()
     queries = {}
 
+    import pyarrow as pa
+
+    def inject_dups(tbl: pa.Table) -> pa.Table:
+        # the Zipf-random corpus has essentially no natural near-dups
+        # at threshold 0.5 (measured: 0 pairs at 3M), which would leave
+        # the candidate/verify stages untested at scale. Re-key every
+        # 20th row with one appended token (~175-token docs -> jaccard
+        # ~0.98): ~5% dup volume, family size 2, no degenerate buckets.
+        import numpy as np
+        import pyarrow.compute as pc
+
+        # skip the 5% html-only rows (empty text): their dups would all
+        # become the identical one-token doc " dupmarkertoken" — one
+        # giant C(n,2) family instead of size-2 families
+        pick = (np.arange(tbl.num_rows) % 20 == 0) & np.asarray(
+            pc.not_equal(pc.fill_null(tbl.column("text"), ""), "")
+            .to_numpy(zero_copy_only=False), dtype=bool)
+        dup = tbl.filter(pa.array(pick))
+        dup = pa.table({
+            "url": pc.binary_join_element_wise(
+                dup.column("url"), "#dup", ""),
+            "text": pc.binary_join_element_wise(
+                dup.column("text"), " dupmarkertoken", ""),
+        })
+        return pa.concat_tables([tbl.select(["url", "text"]), dup])
+
+    def corpus():
+        return ray.data.read_parquet(paths, columns=["url", "text"]) \
+            .map_batches(inject_dups, batch_format="pyarrow")
+
     t0 = time.time()
-    docs = ray.data.read_parquet(paths, columns=["url", "text"])
-    pairs = minhash_lsh_pairs(docs, id_column="url", text_column="text",
+    pairs = minhash_lsh_pairs(corpus(), id_column="url",
+                              text_column="text",
                               threshold=0.5).materialize()
     queries["minhash_pairs_sec"] = round(time.time() - t0, 1)
     queries["minhash_pairs_rows"] = pairs.count()
 
     t0 = time.time()
-    docs = ray.data.read_parquet(paths, columns=["url", "text"])
-    kept = near_dedup(docs, method="minhash", id_column="url",
+    kept = near_dedup(corpus(), method="minhash", id_column="url",
                       text_column="text", threshold=0.5).materialize()
     queries["near_dedup_sec"] = round(time.time() - t0, 1)
     queries["near_dedup_kept"] = kept.count()
     queries["corpus_rows"] = CORPUS_ROWS
+    queries["input_rows"] = CORPUS_ROWS + CORPUS_ROWS // 20
 
     print(json.dumps({
         "metric": "web-scale dedup chain wall time",
