@@ -487,6 +487,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["normalization_report"] = norm_report
 
+    # --- decontamination ---
+    def _probe_docs(sf: str) -> ray.data.Dataset:
+        # probe set = doc_id % 17 == 3 (vectorized batch filter)
+        def pick(t: pa.Table) -> pa.Table:
+            ids = np.asarray(
+                t.column("doc_id").to_numpy(zero_copy_only=False))
+            return t.filter(pa.array(ids % 17 == 3))
+
+        return _docs(sf).map_batches(pick, batch_format="pyarrow")
+
+    def contamination(sf: str):
+        # probe set = every 17th doc family member (doc_id % 17 == 3);
+        # 5-gram overlap counts, value-checked: the SQL oracle builds
+        # the same distinct n-gram sets with window string_agg
+        from patapsco_ray.functions import ngram_contamination
+
+        out = ngram_contamination(_docs(sf), _probe_docs(sf), ngram_size=5)
+        return out.map_batches(
+            lambda t: pa.table({
+                "doc_id": pa.compute.cast(t.column("doc_id"), pa.int64()),
+                "n_matched": t.column("n_matched"),
+                "n_ngrams": t.column("n_ngrams"),
+            }), batch_format="pyarrow")
+
+    q["contamination_check"] = contamination
+
+    def decontaminated(sf: str):
+        from patapsco_ray.functions import decontaminate
+
+        kept = decontaminate(_docs(sf), _probe_docs(sf), ngram_size=5)
+        return kept.map_batches(
+            lambda t: pa.table({
+                "doc_id": pa.compute.cast(t.column("doc_id"), pa.int64()),
+            }), batch_format="pyarrow")
+
+    q["decontaminated_ids"] = decontaminated
+
     # --- deduplication ---
     q["exact_duplicates"] = lambda sf: exact_duplicates(_docs(sf))
     q["ngram_jaccard_pairs"] = lambda sf: ngram_jaccard_pairs(
@@ -1329,6 +1366,43 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY value DESC, event_id) - 1 AS BIGINT) AS rank,
               CAST(FLOOR(value*1000000 + 0.5) AS BIGINT) AS value_1e6
             FROM events QUALIFY rank < 3""",
+        "contamination_check": """
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+              FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id, unnest(CASE WHEN len(t) < 5
+                THEN [array_to_string(t, ' ')]
+                ELSE list_transform(range(1, len(t) - 3),
+                  i -> array_to_string(t[i:i+4], ' ')) END) AS g
+              FROM toks WHERE len(t) > 0),
+            pg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 3),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+            m AS (SELECT grams.doc_id, count(*) AS nm
+                  FROM grams JOIN pg USING (g) GROUP BY 1)
+            SELECT d.doc_id,
+              CAST(COALESCE(m.nm, 0) AS BIGINT) AS n_matched,
+              CAST(COALESCE(s.n, 0) AS BIGINT) AS n_ngrams
+            FROM documents d
+            LEFT JOIN sizes s ON d.doc_id = s.doc_id
+            LEFT JOIN m ON d.doc_id = m.doc_id""",
+        "decontaminated_ids": """
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+              FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id, unnest(CASE WHEN len(t) < 5
+                THEN [array_to_string(t, ' ')]
+                ELSE list_transform(range(1, len(t) - 3),
+                  i -> array_to_string(t[i:i+4], ' ')) END) AS g
+              FROM toks WHERE len(t) > 0),
+            pg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 3),
+            bad AS (SELECT DISTINCT grams.doc_id
+                    FROM grams JOIN pg USING (g))
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)""",
         "ngram_jaccard_pairs": f"""
             WITH toks AS (
               SELECT doc_id,

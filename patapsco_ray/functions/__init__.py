@@ -9,6 +9,8 @@ Ray Data transform:
   document fingerprints (vectorized pyarrow.compute over Arrow batches)
 - :mod:`dedup` — exact (hash groupby), n-gram Jaccard (shingle
   inverted index), MinHash+LSH, SimHash near-duplicate detection
+- :mod:`decontam` — benchmark decontamination: n-gram overlap against
+  a broadcast probe (test-set) n-gram index, shuffle-free
 - :mod:`similarity` — brute-force cosine top-k against a broadcast
   query matrix, exact all-pairs near-dup, LSH-bucketed ANN scale path
 - :mod:`multimodal` — actor-pool decode/feature stages over opaque
@@ -32,6 +34,7 @@ from .dedup import (
     simhash_pairs,
 )
 from .cluster import connected_components, dedup_keep, near_dedup
+from .decontam import decontaminate, ngram_contamination
 from .similarity import (cosine_topk, cosine_neardup_pairs,
                          lsh_cosine_topk, ivf_cosine_topk,
                          train_ivf_centroids)
@@ -56,6 +59,8 @@ __all__ = [
     "sample_by_hash",
     "exact_duplicates",
     "exact_duplicate_pairs",
+    "ngram_contamination",
+    "decontaminate",
     "connected_components",
     "dedup_keep",
     "near_dedup",
