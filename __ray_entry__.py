@@ -217,6 +217,23 @@ def _index_for(sf_dir: str) -> str:
     return str(index_dir)
 
 
+def _store_for(sf_dir: str) -> str:
+    """Build (or reuse) the processed-docs store for one scale factor
+    (RM3 feedback needs the stored document text)."""
+    store_dir = _CACHE_ROOT / (
+        re.sub(r"[^A-Za-z0-9._-]", "_", str(sf_dir).strip("/"))
+        + "-store-v1"
+    )
+    if not (store_dir / ".complete").exists():
+        proc = process_documents(
+            _docs(sf_dir), text_config=SQL_TEXT_CONFIG,
+            id_column="doc_id", html_column=None,
+        )
+        write_doc_store(proc, store_dir, num_buckets=8)
+        (store_dir / ".complete").touch()
+    return str(store_dir)
+
+
 def _scaled(x, scale: float = 1e6) -> pa.Array:
     return pa.array(
         np.floor(np.asarray(x, dtype=np.float64) * scale + 0.5
@@ -329,20 +346,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Reference semantics: /root/reference/patapsco/retrieve.py
         # 104-113 (pyserini Rm3Reranker defaults).
         idx = _index_for(sf)
-        store_dir = _CACHE_ROOT / (
-            re.sub(r"[^A-Za-z0-9._-]", "_", str(sf).strip("/")) + "-store-v1"
-        )
-        if not (store_dir / ".complete").exists():
-            proc = process_documents(
-                _docs(sf), text_config=SQL_TEXT_CONFIG,
-                id_column="doc_id", html_column=None,
-            )
-            write_doc_store(proc, store_dir, num_buckets=8)
-            (store_dir / ".complete").touch()
         from patapsco_ray.search.rm3 import rm3_expand
 
         searcher = IndexSearcher(idx)
-        store = DocStore(store_dir)
+        store = DocStore(_store_for(sf))
         qids, dids, scores = [], [], []
         for qid, text in RETRIEVAL_QUERIES:
             weights = rm3_expand(searcher, store, text)
@@ -366,16 +373,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # partition) — must be hash-identical to rm3_topk, and shares
         # its full-derivation SQL oracle
         idx = _index_for(sf)
-        store_dir = _CACHE_ROOT / (
-            re.sub(r"[^A-Za-z0-9._-]", "_", str(sf).strip("/")) + "-store-v1"
-        )
-        if not (store_dir / ".complete").exists():
-            proc = process_documents(
-                _docs(sf), text_config=SQL_TEXT_CONFIG,
-                id_column="doc_id", html_column=None,
-            )
-            write_doc_store(proc, store_dir, num_buckets=8)
-            (store_dir / ".complete").touch()
         from patapsco_ray.search import search_dataset
 
         qtbl = pa.table({
@@ -384,7 +381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
         tbl = search_dataset(
             qtbl, idx, k=TOP_K + 16, mode="rm3",
-            doc_store_dir=str(store_dir), concurrency=(1, 4), batch_size=1,
+            doc_store_dir=_store_for(sf), concurrency=(1, 4), batch_size=1,
         ).to_arrow_refs()
         tbl = pa.concat_tables(ray.get(tbl))
         return _rank_rounded(tbl, TOP_K)

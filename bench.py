@@ -199,6 +199,34 @@ def run_sf_ops(sf_dir: str) -> dict:
     # 100-TB workhorse path, timed so tail regressions are visible
     qs["near_dedup"] = lambda sf: near_dedup(
         entry._docs(sf), method="minhash", threshold=0.5)
+
+    def rm3_distributed_66(sf):
+        # RM3 fanned out with the query partition (search_dataset
+        # mode='rm3'), 66 queries composed from the index's head terms
+        # — the fleet-of-queries shape the driver-loop RM3 cannot serve
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from patapsco_ray.search import search_dataset
+
+        idx = entry._index_for(sf)
+        store = entry._store_for(sf)
+        t = pq.read_table(f"{idx}/global_terms", columns=["term", "df"])
+        dfs = t.column("df").to_numpy(zero_copy_only=False)
+        order = dfs.argsort()[::-1][:198]
+        terms = t.column("term").take(pa.array(order)).to_pylist()
+        nt = len(terms)
+        qtbl = pa.table({
+            "query_id": [f"q{i}" for i in range(66)],
+            "query": [" ".join({terms[i % nt], terms[(i + 66) % nt],
+                                terms[(i + 132) % nt]})
+                      for i in range(66)],
+        })
+        return search_dataset(qtbl, idx, k=100, mode="rm3",
+                              doc_store_dir=store, concurrency=(1, 8),
+                              batch_size=8)
+
+    qs["rm3_distributed_66q"] = rm3_distributed_66
     picks = [
         "bm25_topk",
         "token_counts",
@@ -206,6 +234,7 @@ def run_sf_ops(sf_dir: str) -> dict:
         "exact_duplicates",
         "minhash_lsh_pairs",
         "near_dedup",
+        "rm3_distributed_66q",
         "cosine_topk",
         "window_agg",
         "sessionize",
