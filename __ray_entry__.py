@@ -521,6 +521,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["decontaminated_ids"] = decontaminated
 
+    def dup_spans(sf: str):
+        # substring-level dedup (Lee et al. ACL 2022): maximal merged
+        # runs of 10-token windows whose n-gram occurs >= 2x corpus-wide
+        from patapsco_ray.functions import duplicate_spans
+
+        return duplicate_spans(
+            _docs(sf).select_columns(["doc_id", "text"]), ngram_size=10)
+
+    q["duplicate_spans"] = dup_spans
+
+    def despan(sf: str):
+        from patapsco_ray.functions import remove_duplicate_spans
+
+        return remove_duplicate_spans(
+            _docs(sf).select_columns(["doc_id", "text"]), ngram_size=10)
+
+    q["remove_dup_spans"] = despan
+
+    def len_quants(sf: str):
+        # exact nearest-rank quantiles via a distributed value
+        # histogram — only distinct (value, count) rows shuffle
+        from patapsco_ray.functions import exact_quantiles
+
+        return exact_quantiles(
+            _docs(sf).select_columns(["n_chars"]), "n_chars",
+            [0.0, 0.05, 0.25, 0.5, 0.75, 0.95, 1.0])
+
+    q["length_quantiles"] = len_quants
+
     # --- deduplication ---
     q["exact_duplicates"] = lambda sf: exact_duplicates(_docs(sf))
     q["ngram_jaccard_pairs"] = lambda sf: ngram_jaccard_pairs(
@@ -1400,6 +1429,62 @@ def oracle_sql() -> dict[str, str]:
                     FROM grams JOIN pg USING (g))
             SELECT d.doc_id FROM documents d
             WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)""",
+        "duplicate_spans": """
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+              FROM documents),
+            grams AS (
+              SELECT doc_id, i, array_to_string(t[i:i+9], ' ') AS g
+              FROM (SELECT doc_id, t, unnest(range(1, len(t) - 8)) AS i
+                    FROM toks WHERE len(t) >= 10)),
+            dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+            hits AS (SELECT grams.doc_id, grams.i - 1 AS s
+                     FROM grams JOIN dup USING (g)),
+            brk AS (
+              SELECT doc_id, s, CASE WHEN s > lag(s) OVER
+                  (PARTITION BY doc_id ORDER BY s) + 10 THEN 1 ELSE 0
+                END AS b
+              FROM hits),
+            isl AS (
+              SELECT doc_id, s, sum(b) OVER (PARTITION BY doc_id
+                  ORDER BY s ROWS UNBOUNDED PRECEDING) AS island
+              FROM brk)
+            SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+                   CAST(max(s) + 10 AS BIGINT) AS span_end
+            FROM isl GROUP BY doc_id, island""",
+        "remove_dup_spans": """
+            WITH raw AS (
+              SELECT doc_id,
+                list_filter(string_split(text, ' '), x -> x <> '') AS rt
+              FROM documents),
+            lt AS (SELECT doc_id, rt,
+                     list_transform(rt, x -> lower(x)) AS t FROM raw),
+            grams AS (
+              SELECT doc_id, i, array_to_string(t[i:i+9], ' ') AS g
+              FROM (SELECT doc_id, t, unnest(range(1, len(t) - 8)) AS i
+                    FROM lt WHERE len(t) >= 10)),
+            dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+            hits AS (SELECT grams.doc_id, grams.i - 1 AS s
+                     FROM grams JOIN dup USING (g)),
+            covered AS (SELECT DISTINCT doc_id, s + j.j AS p
+                        FROM hits CROSS JOIN
+                          (SELECT unnest(range(0, 10)) AS j) j),
+            toku AS (SELECT doc_id, i - 1 AS p, rt[i] AS tok
+                     FROM (SELECT doc_id, rt,
+                             unnest(range(1, len(rt) + 1)) AS i FROM lt)),
+            kept AS (SELECT tk.doc_id, tk.p, tk.tok
+                     FROM toku tk LEFT JOIN covered c
+                       ON c.doc_id = tk.doc_id AND c.p = tk.p
+                     WHERE c.doc_id IS NULL),
+            agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text
+                    FROM kept GROUP BY doc_id)
+            SELECT d.doc_id, COALESCE(a.text, '') AS text
+            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
+        "length_quantiles": " UNION ALL ".join(
+            f"SELECT CAST({int(round(qq * 1e6))} AS BIGINT) AS q_1e6, "
+            f"quantile_disc(n_chars, {qq}) AS value FROM documents"
+            for qq in (0.0, 0.05, 0.25, 0.5, 0.75, 0.95, 1.0)),
         "ngram_jaccard_pairs": f"""
             WITH toks AS (
               SELECT doc_id,

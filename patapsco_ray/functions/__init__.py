@@ -11,6 +11,9 @@ Ray Data transform:
   inverted index), MinHash+LSH, SimHash near-duplicate detection
 - :mod:`decontam` — benchmark decontamination: n-gram overlap against
   a broadcast probe (test-set) n-gram index, shuffle-free
+- :mod:`spans` — duplicate n-gram SPAN detection/removal inside
+  otherwise-distinct documents (Lee et al. ACL 2022 substring dedup,
+  window-hash formulation)
 - :mod:`similarity` — brute-force cosine top-k against a broadcast
   query matrix, exact all-pairs near-dup, LSH-bucketed ANN scale path
 - :mod:`multimodal` — actor-pool decode/feature stages over opaque
@@ -35,6 +38,8 @@ from .dedup import (
 )
 from .cluster import connected_components, dedup_keep, near_dedup
 from .decontam import decontaminate, ngram_contamination
+from .spans import duplicate_spans, remove_duplicate_spans
+from .quantiles import exact_quantiles, value_histogram
 from .similarity import (cosine_topk, cosine_neardup_pairs,
                          lsh_cosine_topk, ivf_cosine_topk,
                          train_ivf_centroids)
@@ -61,6 +66,10 @@ __all__ = [
     "exact_duplicate_pairs",
     "ngram_contamination",
     "decontaminate",
+    "duplicate_spans",
+    "remove_duplicate_spans",
+    "exact_quantiles",
+    "value_histogram",
     "connected_components",
     "dedup_keep",
     "near_dedup",
