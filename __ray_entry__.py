@@ -85,6 +85,15 @@ RETRIEVAL_QUERIES: list[tuple[str, str]] = [
 ]
 TOP_K = 10  # north rule: BM25 top-10 rank identity
 
+# Fixed exact-adjacency phrase queries (positional-index path;
+# bigrams chosen to occur at every sf, incl. within-doc repetition)
+PHRASE_QUERIES: list[tuple[str, str]] = [
+    ("p1", "table table"),
+    ("p2", "key agg"),
+    ("p3", "value table"),
+    ("p4", "join batch"),
+]
+
 # fixed PSQ clauses (weighted translation alternatives) over the same
 # vocabulary; scored with projected tf/df BM25 (search/psq.py)
 PSQ_CLAUSES: list[list[tuple[str, float]]] = [
@@ -217,6 +226,23 @@ def _index_for(sf_dir: str) -> str:
     return str(index_dir)
 
 
+def _index_pos_for(sf_dir: str) -> str:
+    """Build (or reuse) the POSITIONAL documents index (phrase search)."""
+    key = re.sub(r"[^A-Za-z0-9._-]", "_", str(sf_dir).strip("/"))
+    index_dir = _CACHE_ROOT / f"{key}-docs-pos-v1"
+    build_index(
+        f"{sf_dir}/documents.parquet",
+        index_dir,
+        text_config=SQL_TEXT_CONFIG,
+        id_column="doc_id",
+        text_column="text",
+        html_column=None,
+        rows_per_segment=200,
+        positions=True,
+    )
+    return str(index_dir)
+
+
 def _store_for(sf_dir: str) -> str:
     """Build (or reuse) the processed-docs store for one scale factor
     (RM3 feedback needs the stored document text)."""
@@ -319,6 +345,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- index build + retrieval (the reference's core pipeline) ---
     q["bm25_topk"] = lambda sf: _search(sf, "bm25")
     q["qld_topk"] = lambda sf: _search(sf, "qld")
+
+    def phrase(sf: str):
+        # positional index: exact-adjacency phrase BM25 (summed term
+        # idf, tf = phrase frequency) — beyond reference parity, whose
+        # DOCS_AND_FREQS Lucene index returns empty for phrases
+        searcher = IndexSearcher(_index_pos_for(sf), quantize_norms=False)
+        rows = [(qid, h["doc_id"], h["score"])
+                for qid, ph in PHRASE_QUERIES
+                for h in searcher.search_phrase(ph, k=TOP_K + 16)]
+        tbl = pa.table({
+            "query_id": pa.array([r[0] for r in rows], pa.string()),
+            "doc_id": pa.array([r[1] for r in rows], pa.string()),
+            "score": pa.array([r[2] for r in rows], pa.float64()),
+        })
+        return _rank_rounded(tbl, TOP_K)
+
+    q["phrase_topk"] = phrase
 
     def psq(sf: str):
         searcher = IndexSearcher(_index_for(sf), quantize_norms=False)
@@ -964,6 +1007,50 @@ _QLD_TERM = (
 )
 
 
+def _phrase_values() -> str:
+    return ", ".join(f"('{qid}', '{ph}')" for qid, ph in PHRASE_QUERIES)
+
+
+# Phrase BM25 (Lucene PhraseQuery shape): tf = exact count of adjacent
+# windows equal to the phrase, idf = sum of the constituent terms' idfs
+# (multiplicity included), exact doc lengths (quantize_norms=False).
+_PHRASE_SQL = f"""
+WITH q(query_id, phrase) AS (VALUES {{values}}),
+toksl AS (SELECT doc_id,
+    list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents),
+toks AS (SELECT doc_id, unnest(t) AS term FROM toksl),
+dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM toksl),
+stats AS (SELECT count(*)::DOUBLE AS n,
+                 (SELECT sum(dl) FROM dl) / count(*)::DOUBLE AS avgdl
+          FROM documents),
+big AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+        FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+              FROM toksl WHERE len(t) >= 2)),
+ptf AS (SELECT q.query_id, b.doc_id, count(*)::DOUBLE AS tf
+        FROM q JOIN big b ON b.g = q.phrase GROUP BY 1, 2),
+qt AS (SELECT query_id, unnest(string_split(phrase, ' ')) AS term FROM q),
+df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+       FROM toks GROUP BY term),
+idf AS (SELECT qt.query_id,
+          sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))) AS idf
+        FROM qt JOIN df USING (term) CROSS JOIN stats s GROUP BY 1),
+scored AS (SELECT p.query_id, p.doc_id,
+    i.idf * p.tf / (p.tf + 0.9 * (1 - 0.4 + 0.4 * dl.dl / s.avgdl))
+      AS score
+  FROM ptf p JOIN idf i USING (query_id)
+       JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN stats s)
+SELECT query_id, doc_id,
+  CAST(row_number() OVER (PARTITION BY query_id
+       ORDER BY score_1e6 DESC, doc_id) - 1 AS BIGINT) AS rank,
+  score_1e6
+FROM (SELECT query_id, doc_id,
+        CAST(FLOOR(score * 1000000 + 0.5) AS BIGINT) AS score_1e6
+      FROM scored)
+QUALIFY rank < {TOP_K} ORDER BY query_id, rank
+"""
+
+
 def _rm3_weighted_values() -> str:
     rows = []
     for qid, pairs in sorted(RM3_EXPANDED_QUERIES.items()):
@@ -1274,6 +1361,7 @@ def oracle_sql() -> dict[str, str]:
         "qld_topk": _RETRIEVAL_BASE.format(
             values=_queries_values(), term_score=_QLD_TERM
         ),
+        "phrase_topk": _PHRASE_SQL.format(values=_phrase_values()),
         "psq_topk": _PSQ_SQL.format(values=_psq_values()),
         # weighted BM25 over the frozen RM3 expansions: score =
         # sum_t w_t * idf(t) * tf/(tf+denom) with exact doc lengths

@@ -242,6 +242,10 @@ def run_sf_ops(sf_dir: str) -> dict:
         "pii_counts",
         "chunk_documents",
         "sample_by_hash",
+        "duplicate_spans",
+        "remove_dup_spans",
+        "phrase_topk",
+        "length_quantiles",
     ]
     repeats = int(os.environ.get("BENCH_OPS_REPEATS", "3"))
     out = {}

@@ -119,7 +119,8 @@ class SegmentBuilder:
     def __init__(self, index_dir: str, text_config: TextConfig, lang: str,
                  id_column: str = "url", text_column: str = "text",
                  html_column: str | None = "html",
-                 vectorize: bool | None = None):
+                 vectorize: bool | None = None,
+                 positions: bool = False):
         from .fastpath import FastDocProcessor, supports_fast_path
 
         # each builder actor is scheduled as ONE cpu: pin Arrow's
@@ -138,6 +139,12 @@ class SegmentBuilder:
                     if vectorize is None else vectorize)
         self.fast = (FastDocProcessor(text_config, lang)
                      if use_fast else None)
+        if positions and self.fast is None:
+            raise ValueError(
+                "positions=True requires the vectorized build path "
+                "(whitespace-tokenizer configs); model-tokenizer "
+                "configs do not thread positions")
+        self.positions = positions
 
     def _iter_input_batches(self, desc: dict, batch_size: int = 8192):
         columns = [self.id_column, self.text_column]
@@ -165,6 +172,7 @@ class SegmentBuilder:
         tid_parts: list[np.ndarray] = []
         ord_parts: list[np.ndarray] = []
         tf_parts: list[np.ndarray] = []
+        pos_parts: list[np.ndarray] = []
         id_parts: list[pa.Array] = []
         dl_parts: list[np.ndarray] = []
         rejected = 0
@@ -172,7 +180,8 @@ class SegmentBuilder:
         ordinal_base = 0
         for batch in self._iter_input_batches(desc, batch_size=32768):
             r = self.fast.process_batch(batch, self.id_column,
-                                        self.text_column, self.html_column)
+                                        self.text_column, self.html_column,
+                                        want_positions=self.positions)
             n = len(r["ids"])
             input_rows += n
             keep = r["keep"]
@@ -192,17 +201,21 @@ class SegmentBuilder:
                 ord_parts.append(
                     (r["pair_doc"] + ordinal_base).astype(np.int32))
                 tf_parts.append(r["pair_tf"].astype(np.int32, copy=False))
+                if self.positions:
+                    pos_parts.append(r["pair_pos"])
             ordinal_base += nkept
 
         dl = (np.concatenate(dl_parts) if dl_parts
               else np.empty(0, dtype=np.int64))
         norms = encode_lengths(dl)
-        terms_sorted, term_offsets, ords_cat, tfs_cat = flat_postings_sorted(
-            vocab, tid_parts, ord_parts, tf_parts)
+        terms_sorted, term_offsets, ords_cat, tfs_cat, pos_cat = \
+            flat_postings_sorted(vocab, tid_parts, ord_parts, tf_parts,
+                                 pos_parts if self.positions else None)
         from .segment import build_terms_table_from_flat
 
         terms_table, npostings = build_terms_table_from_flat(
-            terms_sorted, term_offsets, ords_cat, tfs_cat, norms)
+            terms_sorted, term_offsets, ords_cat, tfs_cat, norms,
+            positions=pos_cat)
         doc_ids = (pa.concat_arrays([a.combine_chunks()
                                      if isinstance(a, pa.ChunkedArray) else a
                                      for a in id_parts])
@@ -324,8 +337,15 @@ def build_index(
     resume: bool = True,
     finalize: bool = True,
     vectorize: bool | None = None,
+    positions: bool = False,
 ) -> dict:
     """Build (or resume) an index; returns the manifest dict.
+
+    ``positions=True`` additionally stores within-document token
+    positions per posting (delta+varint, one extra binary column per
+    term), enabling :meth:`search.IndexSearcher.search_phrase`. The
+    reference's Lucene index is DOCS_AND_FREQS only (index.py:52), so
+    this is opt-in and off by default.
 
     The segment fan-out runs as a Dataset pipeline so Ray handles
     scheduling, retries and backpressure; each task writes its segment
@@ -387,6 +407,7 @@ def build_index(
                 "text_column": text_column,
                 "html_column": html_column,
                 "vectorize": vectorize,
+                "positions": positions,
             },
             batch_size=1,
             concurrency=concurrency,
@@ -397,6 +418,7 @@ def build_index(
         "version": 1,
         "lang": lang,  # reference .lang sidecar (index.py:79-82)
         "strategy": "aligned",
+        "positions": positions,
         "text_config": {
             "tokenize": text_config.tokenize,
             "stopwords": text_config.stopwords,

@@ -136,8 +136,8 @@ class FragmentEmitter:
         pq.write_table(part, tmp)
         tmp.rename(out)
 
-        terms_sorted, term_offsets, ords_cat, tfs_cat = flat_postings_sorted(
-            vocab, tid_p, ord_p, tf_p)
+        terms_sorted, term_offsets, ords_cat, tfs_cat, _ = \
+            flat_postings_sorted(vocab, tid_p, ord_p, tf_p)
         n = len(ords_cat)
         if n == 0:
             return FRAGMENT_SCHEMA.empty_table()

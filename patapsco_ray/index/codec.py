@@ -305,3 +305,62 @@ def encode_postings_bulk(
         "block_max_tf": block_max_tf.astype(np.int32),
         "block_min_norm": block_min_norm.astype(np.int32),
     }
+
+
+def encode_positions_bulk(
+    positions: np.ndarray, tfs_cat: np.ndarray, term_offsets: np.ndarray
+) -> dict:
+    """Encode within-document token positions for every posting.
+
+    ``positions`` is the flat position stream aligned with the posting
+    arrays: term-major, posting(ordinal)-major, position-ascending
+    inside each posting — posting j owns the slice of length
+    ``tfs_cat[j]``. Encoding is one vectorized delta pass (first
+    position of each posting absolute, gaps after) into a single LEB128
+    stream, sliced per TERM by byte offsets (decode never needs random
+    access below term granularity: a term's positions decode in one
+    ``varint_decode`` of ``cf`` values and split by its tfs).
+
+    Returns {"data": bytes, "term_byte_offsets": int64[T+1]}.
+    """
+    positions = np.asarray(positions, dtype=np.int64)
+    tfs = np.asarray(tfs_cat, dtype=np.int64)
+    term_offsets = np.asarray(term_offsets, dtype=np.int64)
+    T = len(term_offsets) - 1
+    n = positions.size
+    if n == 0:
+        return {"data": b"", "term_byte_offsets": np.zeros(T + 1, np.int64)}
+    deltas = np.empty(n, dtype=np.int64)
+    deltas[0] = positions[0]
+    deltas[1:] = positions[1:] - positions[:-1]
+    pair_first = np.cumsum(tfs) - tfs  # flat index of each posting's start
+    deltas[pair_first] = positions[pair_first]
+    data, ends = varint_encode(deltas, return_ends=True)
+    # values per term = sum of its postings' tfs
+    csum = np.concatenate([[0], np.cumsum(tfs)])
+    cf = csum[term_offsets[1:]] - csum[term_offsets[:-1]]
+    cum_cf = np.cumsum(cf)
+    tb = np.zeros(T + 1, dtype=np.int64)
+    nz = cum_cf > 0
+    tb[1:][nz] = ends[cum_cf[nz] - 1]
+    np.maximum.accumulate(tb, out=tb)  # carry offsets across empty terms
+    return {"data": data.tobytes(), "term_byte_offsets": tb}
+
+
+def decode_positions(blob, cf: int, tfs: np.ndarray) -> np.ndarray:
+    """Decode one term's position stream back to absolute positions.
+
+    ``tfs`` are the term's decoded per-posting frequencies (posting j
+    owns ``tfs[j]`` consecutive values). Returns the flat int64
+    position array, posting-major, ascending within each posting.
+    """
+    b = np.frombuffer(blob, dtype=np.uint8)
+    deltas = varint_decode(b, count=cf).astype(np.int64)
+    if deltas.size == 0:
+        return deltas
+    tfs = np.asarray(tfs, dtype=np.int64)
+    c = np.cumsum(deltas)
+    first = np.cumsum(tfs) - tfs
+    # subtract the running total just before each posting's first value
+    base = np.where(first > 0, c[np.maximum(first, 1) - 1], 0)
+    return c - np.repeat(base, tfs)

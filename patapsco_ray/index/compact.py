@@ -246,6 +246,14 @@ def compact_index(
     out_dir = pathlib.Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     manifest = read_manifest(index_dir)
+    if manifest.get("positions"):
+        # the k-way posting merge below rewrites ordinals but does not
+        # re-slice the per-term position streams — refuse rather than
+        # silently dropping phrase support
+        raise NotImplementedError(
+            "compact_index does not yet merge positional indexes "
+            "(built with positions=True); compact before adding "
+            "positions or rebuild")
     groups: list[list[dict]] = []
     cur: list[dict] = []
     cur_docs = 0

@@ -150,6 +150,7 @@ class FastDocProcessor:
         id_column: str,
         text_column: str,
         html_column: str | None,
+        want_positions: bool = False,
     ) -> dict:
         """Process one input batch fully vectorized.
 
@@ -160,6 +161,9 @@ class FastDocProcessor:
           pair_doc   np.int64          kept-row index per (doc,term)
           pair_code  np.int64          batch-local term code
           pair_tf    np.int64          term frequency
+          pair_pos   np.int32 | None   (want_positions) token positions
+                     in the PROCESSED stream, flat and tf-aligned:
+                     pair j owns pair_tf[j] ascending values
           dict_strings list[str]       code -> term text
         (pairs are sorted by (pair_doc, pair_code)).
         """
@@ -215,6 +219,7 @@ class FastDocProcessor:
                     "pair_doc": np.empty(0, np.int64),
                     "pair_code": np.empty(0, np.int64),
                     "pair_tf": np.empty(0, np.int64),
+                    "pair_pos": np.empty(0, np.int32),
                     "dict_strings": []}
         if isinstance(flat, pa.ChunkedArray):
             flat = flat.combine_chunks()
@@ -251,6 +256,7 @@ class FastDocProcessor:
                     "pair_doc": np.empty(0, np.int64),
                     "pair_code": np.empty(0, np.int64),
                     "pair_tf": np.empty(0, np.int64),
+                    "pair_pos": np.empty(0, np.int32),
                     "dict_strings": []}
         if self.lowercase and self.stemmer is None:
             # no stemmer: post_normalize lowercasing applies to the
@@ -298,7 +304,29 @@ class FastDocProcessor:
                    + codes.astype(np.uint32))
         else:
             key = parent_kept * np.int64(V) + codes
-        uk, tf = np.unique(key, return_counts=True)
+        pair_pos = None
+        if want_positions:
+            # positions in the processed (post-stopword, post-merge)
+            # token stream: rank within the parent segment. A stable
+            # sort on the (doc,term) key then groups each pair's
+            # positions contiguously and ascending — one sort total
+            # (replaces np.unique's internal one).
+            npk = len(parent_kept)
+            idx = np.arange(npk, dtype=np.int64)
+            newdoc = np.ones(npk, dtype=bool)
+            newdoc[1:] = parent_kept[1:] != parent_kept[:-1]
+            seg_start = idx[newdoc]
+            pos = (idx - seg_start[np.cumsum(newdoc) - 1]).astype(np.int32)
+            order = np.argsort(key, kind="stable")
+            sk = key[order]
+            newpair = np.ones(npk, dtype=bool)
+            newpair[1:] = sk[1:] != sk[:-1]
+            uk = sk[newpair]
+            bnd = np.flatnonzero(newpair)
+            tf = np.diff(np.concatenate([bnd, [npk]]))
+            pair_pos = pos[order]
+        else:
+            uk, tf = np.unique(key, return_counts=True)
         pair_doc, pair_code = np.divmod(uk.astype(np.int64, copy=False), V)
         return {
             "ids": ids,
@@ -307,6 +335,7 @@ class FastDocProcessor:
             "pair_doc": pair_doc,
             "pair_code": pair_code,
             "pair_tf": tf.astype(np.int64),
+            "pair_pos": pair_pos,
             "dict_strings": vocab,
         }
 
@@ -348,11 +377,15 @@ def flat_postings_sorted(
     term_id_parts: list[np.ndarray],
     ord_parts: list[np.ndarray],
     tf_parts: list[np.ndarray],
-) -> tuple[list[str], np.ndarray, np.ndarray, np.ndarray]:
+    pos_parts: list[np.ndarray] | None = None,
+) -> tuple[list[str], np.ndarray, np.ndarray, np.ndarray, np.ndarray | None]:
     """Concatenate accumulated posting parts and sort term-major
     (lexicographic), ordinal-ascending within term.
 
-    Returns (terms_sorted, term_offsets[T+1], ordinals, tfs).
+    Returns (terms_sorted, term_offsets[T+1], ordinals, tfs, positions)
+    — ``positions`` is None unless ``pos_parts`` is given, else the
+    tf-aligned flat position stream re-gathered into the sorted pair
+    order (pair j owns tfs[j] consecutive values).
     Stability: parts are appended in ordinal order and np.unique emits
     doc-major order inside a batch, so a stable sort on the term rank
     keeps each term's ordinals ascending.
@@ -360,7 +393,8 @@ def flat_postings_sorted(
     terms_sorted, rank = vocab.sorted_order()
     if not term_id_parts:
         return terms_sorted, np.zeros(1, dtype=np.int64), \
-            np.empty(0, np.int64), np.empty(0, np.int64)
+            np.empty(0, np.int64), np.empty(0, np.int64), \
+            (np.empty(0, np.int32) if pos_parts is not None else None)
     tid = np.concatenate(term_id_parts)
     ords = np.concatenate(ord_parts)
     tfs = np.concatenate(tf_parts)
@@ -369,4 +403,19 @@ def flat_postings_sorted(
     counts = np.bincount(key, minlength=len(terms_sorted))
     term_offsets = np.zeros(len(terms_sorted) + 1, dtype=np.int64)
     np.cumsum(counts, out=term_offsets[1:])
-    return terms_sorted, term_offsets, ords[order], tfs[order]
+    pos_sorted = None
+    if pos_parts is not None:
+        pos_cat = (np.concatenate(pos_parts) if pos_parts
+                   else np.empty(0, np.int32))
+        # gather each pair's variable-length position slice into the
+        # sorted order: flat index = repeat(slice starts) + within-rank
+        tfs64 = tfs.astype(np.int64, copy=False)
+        pre_off = np.concatenate([[0], np.cumsum(tfs64)])
+        widths = tfs64[order]
+        starts = pre_off[:-1][order]
+        total = int(widths.sum())
+        within = (np.arange(total, dtype=np.int64)
+                  - np.repeat(np.concatenate([[0], np.cumsum(widths)[:-1]]),
+                              widths))
+        pos_sorted = pos_cat[np.repeat(starts, widths) + within]
+    return terms_sorted, term_offsets, ords[order], tfs[order], pos_sorted

@@ -204,6 +204,7 @@ def build_terms_table_from_flat(
     ords_cat: np.ndarray,
     tfs_cat: np.ndarray,
     norms: np.ndarray,
+    positions: np.ndarray | None = None,
 ) -> tuple[pa.Table, int]:
     """Encode already-flat term-major posting arrays (the vectorized
     build path, index/fastpath.py) into the term-sorted Arrow table;
@@ -213,12 +214,21 @@ def build_terms_table_from_flat(
     arrays (codec.encode_postings_bulk) — per-term encode calls were
     ~70% of segment-build wall time — and the Arrow binary/list
     columns are assembled zero-copy from the flat outputs + offsets.
+
+    ``positions`` (optional): the tf-aligned flat within-document token
+    position stream (posting j owns tfs_cat[j] ascending values); when
+    given, a per-term delta+varint ``positions`` binary column is
+    appended (codec.encode_positions_bulk).
     """
-    from .codec import encode_postings_bulk
+    from .codec import encode_positions_bulk, encode_postings_bulk
 
     T = len(terms_sorted)
     if T == 0:
-        return TERMS_SCHEMA.empty_table(), 0
+        tbl = TERMS_SCHEMA.empty_table()
+        if positions is not None:
+            tbl = tbl.append_column(
+                "positions", pa.array([], pa.large_binary()))
+        return tbl, 0
     term_offsets = np.asarray(term_offsets, dtype=np.int64)
     # keep the (large) posting arrays in their native 32-bit dtype —
     # upcasting to int64 here doubled the build's fresh allocations
@@ -257,4 +267,12 @@ def build_terms_table_from_flat(
         },
         schema=TERMS_SCHEMA,
     )
+    if positions is not None:
+        penc = encode_positions_bulk(positions, tfs_cat, term_offsets)
+        pos_col = pa.Array.from_buffers(
+            pa.large_binary(), T,
+            [None, pa.py_buffer(penc["term_byte_offsets"].tobytes()),
+             pa.py_buffer(penc["data"])],
+        )
+        table = table.append_column("positions", pos_col)
     return table, n

@@ -32,7 +32,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..index.codec import decode_postings
+from ..index.codec import decode_positions, decode_postings
 from ..index.segment import read_docs, read_manifest, read_terms, seg_dir
 from ..text import TextConfig, TextProcessor
 from .scorer import CorpusStats, make_scorer
@@ -361,6 +361,70 @@ class SegmentScorer:
             return cand.astype(np.int64), np.empty(0, dtype=np.float64)
         return self._select_topk(cand, scores[cand], k)
 
+    def score_phrase(
+        self,
+        terms: list[str],
+        scorer,
+        global_stats: dict[str, tuple[int, int]],
+        k: int,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Exact-adjacency phrase top-k over a positional segment.
+
+        A document matches when the phrase's terms occur at consecutive
+        positions of the processed token stream; its tf is the exact
+        occurrence count (|∩_j (P_j - j)| over per-term position sets).
+        Scored like Lucene's PhraseQuery: summed term idf (multiplicity
+        included) with the phrase tf in the BM25 tf-saturation.
+        """
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        uniq = sorted(set(terms))
+        rows = self.term_rows(uniq)
+        if any(t not in rows for t in uniq):
+            return empty
+        if rows[uniq[0]].get("positions") is None:
+            raise ValueError(
+                "terms table has no positions column — phrase search "
+                "needs an index built with positions=True")
+        decoded: dict[str, tuple] = {}
+        for t in uniq:
+            r = rows[t]
+            ords, tfs = decode_postings(
+                r["postings"], r["block_offsets"], r["block_counts"])
+            pos = decode_positions(r["positions"], int(tfs.sum()), tfs)
+            off = np.concatenate([[0], np.cumsum(tfs)])
+            decoded[t] = (ords, off, pos)
+        common = decoded[uniq[0]][0]
+        for t in uniq[1:]:
+            common = np.intersect1d(common, decoded[t][0],
+                                    assume_unique=True)
+            if common.size == 0:
+                return empty
+        docs_out: list[int] = []
+        tf_out: list[int] = []
+        for d in common:
+            cand: np.ndarray | None = None
+            for j, t in enumerate(terms):
+                ords, off, pos = decoded[t]
+                i = int(np.searchsorted(ords, d))
+                p = pos[off[i]:off[i + 1]] - j
+                cand = (p if cand is None
+                        else np.intersect1d(cand, p, assume_unique=True))
+                if cand.size == 0:
+                    break
+            if cand is not None and cand.size:
+                docs_out.append(int(d))
+                tf_out.append(int(cand.size))
+        if not docs_out:
+            return empty
+        ords = np.asarray(docs_out, dtype=np.int64)
+        tfv = np.asarray(tf_out, dtype=np.float64)
+        idf = float(sum(scorer.idf(global_stats[t][0]) for t in terms))
+        if self.quantize_norms:
+            denom = scorer.denom_for_norms(self.norms[ords])
+        else:
+            denom = scorer.denom_for_dl(self.lens[ords])
+        return self._select_topk(ords, idf * tfv / (tfv + denom), k)
+
     def score_psq(
         self,
         clauses: list[list[tuple[str, float]]],
@@ -518,6 +582,34 @@ class IndexSearcher:
         if not dfs:
             return False
         return min(dfs) <= self.AUTO_PRUNE_DF_RATIO * self.stats.ndocs
+
+    def search_phrase(self, phrase: str, k: int = DEFAULT_K,
+                      already_processed: bool = False) -> list[dict]:
+        """Exact-adjacency phrase top-k (requires an index built with
+        ``positions=True`` — the reference's Lucene index is
+        DOCS_AND_FREQS only, index.py:52, so its phrase queries return
+        empty; this is the opt-in beyond-parity path). The phrase runs
+        through the index's text chain first, so with a stopword-
+        removing config adjacency is over the post-stopword stream.
+        Scoring follows Lucene's PhraseQuery shape: summed term idf,
+        tf = exact phrase frequency, BM25 saturation."""
+        if not self.manifest.get("positions"):
+            raise ValueError(
+                f"{self.index_dir} was built without positions=True — "
+                "phrase search needs a positional index")
+        if not hasattr(self.scorer, "idf"):
+            raise ValueError(
+                f"phrase search requires the bm25 scorer, got "
+                f"{self.scorer_name!r}")
+        terms = (phrase.split() if already_processed
+                 else process_query(phrase, self.processor))
+        if not terms:
+            return []
+        gstats = lookup_global_stats(self.index_dir, sorted(set(terms)))
+        if any(t not in gstats for t in terms):
+            return []
+        return self._merge_segments(
+            lambda ss: ss.score_phrase(terms, self.scorer, gstats, k), k)
 
     def search_psq(self, query: "str | list[list[tuple[str, float]]]",
                    k: int = DEFAULT_K) -> list[dict]:
