@@ -107,13 +107,18 @@ def _merge_group(index_dir: str, out_dir: str, group: list[dict],
     # by first-varint byte surgery, never decoded (codec blocks carry
     # an absolute first ordinal; gaps are base-invariant)
     merged: dict[str, list[tuple]] = {}
+    has_positions = False
     for gi, seg in enumerate(group):
         t = read_terms(index_dir, seg["seg_id"])
         b = bases[gi]
-        cols = {name: t.column(name).to_pylist() for name in (
-            "term", "df", "cf", "postings", "block_offsets",
-            "block_counts", "block_last", "block_max_tf",
-            "block_min_norm")}
+        has_positions = "positions" in t.column_names
+        names = ["term", "df", "cf", "postings", "block_offsets",
+                 "block_counts", "block_last", "block_max_tf",
+                 "block_min_norm"]
+        if has_positions:
+            names.append("positions")
+        cols = {name: t.column(name).to_pylist() for name in names}
+        pos_col = cols.get("positions")
         for i in range(t.num_rows):
             blob, offs = _rebase_chunk(cols["postings"][i],
                                        cols["block_offsets"][i], b)
@@ -122,18 +127,19 @@ def _merge_group(index_dir: str, out_dir: str, group: list[dict],
                 cols["block_counts"][i],
                 [x + b for x in cols["block_last"][i]],
                 cols["block_max_tf"][i], cols["block_min_norm"][i],
+                pos_col[i] if pos_col is not None else b"",
             ))
 
     rows = {name: [] for name in (
         "term", "df", "cf", "postings", "block_offsets", "block_counts",
-        "block_last", "block_max_tf", "block_min_norm")}
+        "block_last", "block_max_tf", "block_min_norm", "positions")}
     npostings = 0
     for term in sorted(merged):
         chunks = merged[term]  # already in ascending-base order
         offs_all, pos = [], 0
-        blobs, counts, lasts, maxtf, minnorm = [], [], [], [], []
+        blobs, counts, lasts, maxtf, minnorm, posblobs = [], [], [], [], [], []
         df = cf = 0
-        for d, c, blob, offs, cnts, lst, mtf, mnn in chunks:
+        for d, c, blob, offs, cnts, lst, mtf, mnn, pblob in chunks:
             df += d
             cf += c
             offs_all.extend(o + pos for o in offs)
@@ -143,6 +149,7 @@ def _merge_group(index_dir: str, out_dir: str, group: list[dict],
             lasts.extend(lst)
             maxtf.extend(mtf)
             minnorm.extend(mnn)
+            posblobs.append(pblob)
         rows["term"].append(term)
         rows["df"].append(df)
         rows["cf"].append(cf)
@@ -152,25 +159,33 @@ def _merge_group(index_dir: str, out_dir: str, group: list[dict],
         rows["block_last"].append(lasts)
         rows["block_max_tf"].append(maxtf)
         rows["block_min_norm"].append(minnorm)
+        # position streams merge by pure concatenation: every posting's
+        # positions open with an absolute value (no cross-posting
+        # state), so segment order == merged posting order suffices
+        rows["positions"].append(b"".join(posblobs))
         npostings += df
-    terms_table = pa.table(
-        {
-            "term": pa.array(rows["term"], pa.string()),
-            "df": pa.array(rows["df"], pa.int64()),
-            "cf": pa.array(rows["cf"], pa.int64()),
-            "postings": pa.array(rows["postings"], pa.large_binary()),
-            "block_offsets": pa.array(rows["block_offsets"],
-                                      pa.list_(pa.int32())),
-            "block_counts": pa.array(rows["block_counts"],
-                                     pa.list_(pa.int32())),
-            "block_last": pa.array(rows["block_last"], pa.list_(pa.int64())),
-            "block_max_tf": pa.array(rows["block_max_tf"],
-                                     pa.list_(pa.int32())),
-            "block_min_norm": pa.array(rows["block_min_norm"],
-                                       pa.list_(pa.int32())),
-        },
-        schema=TERMS_SCHEMA,
-    )
+    cols_out = {
+        "term": pa.array(rows["term"], pa.string()),
+        "df": pa.array(rows["df"], pa.int64()),
+        "cf": pa.array(rows["cf"], pa.int64()),
+        "postings": pa.array(rows["postings"], pa.large_binary()),
+        "block_offsets": pa.array(rows["block_offsets"],
+                                  pa.list_(pa.int32())),
+        "block_counts": pa.array(rows["block_counts"],
+                                 pa.list_(pa.int32())),
+        "block_last": pa.array(rows["block_last"], pa.list_(pa.int64())),
+        "block_max_tf": pa.array(rows["block_max_tf"],
+                                 pa.list_(pa.int32())),
+        "block_min_norm": pa.array(rows["block_min_norm"],
+                                   pa.list_(pa.int32())),
+    }
+    schema = TERMS_SCHEMA
+    if has_positions:
+        cols_out["positions"] = pa.array(rows["positions"],
+                                         pa.large_binary())
+        schema = TERMS_SCHEMA.append(pa.field("positions",
+                                              pa.large_binary()))
+    terms_table = pa.table(cols_out, schema=schema)
 
     d = out / f"seg={new_seg_id}"
     tmp = d.with_name(d.name + ".tmp")
@@ -179,7 +194,7 @@ def _merge_group(index_dir: str, out_dir: str, group: list[dict],
             p.unlink()
         tmp.rmdir()
     tmp.mkdir(parents=True)
-    pq.write_table(terms_table.cast(TERMS_SCHEMA), tmp / "terms.parquet",
+    pq.write_table(terms_table.cast(schema), tmp / "terms.parquet",
                    row_group_size=4096)
     pq.write_table(docs_table.cast(DOCS_SCHEMA), tmp / "docs.parquet",
                    row_group_size=1 << 20)
@@ -246,14 +261,6 @@ def compact_index(
     out_dir = pathlib.Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     manifest = read_manifest(index_dir)
-    if manifest.get("positions"):
-        # the k-way posting merge below rewrites ordinals but does not
-        # re-slice the per-term position streams — refuse rather than
-        # silently dropping phrase support
-        raise NotImplementedError(
-            "compact_index does not yet merge positional indexes "
-            "(built with positions=True); compact before adding "
-            "positions or rebuild")
     groups: list[list[dict]] = []
     cur: list[dict] = []
     cur_docs = 0

@@ -47,6 +47,8 @@ class _QuerySearcher:
     - "psq": each query string is the reference's PSQ clause syntax
       (``psq AND (t1^p1 ...) AND ...``, topics.py:433-442), scored
       with projected-statistics BM25.
+    - "phrase": each query string is an exact-adjacency phrase
+      (positional index required — ``build_index(positions=True)``).
     """
 
     def __init__(self, index_dir: str, k: int, mode: str = "plain",
@@ -64,7 +66,7 @@ class _QuerySearcher:
             from ..stages.docstore import DocStore
 
             self.store = DocStore(doc_store_dir)
-        elif mode not in ("plain", "psq"):
+        elif mode not in ("plain", "psq", "phrase"):
             raise ValueError(f"unknown search mode {mode!r}")
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
@@ -80,6 +82,9 @@ class _QuerySearcher:
             def run(text):
                 return search_rm3(self.searcher, self.store, text,
                                   k=self.k, **self.rm3_kwargs)
+        elif self.mode == "phrase":
+            def run(text):
+                return self.searcher.search_phrase(text, k=self.k)
         else:  # psq
             def run(text):
                 return self.searcher.search_psq(text, k=self.k)

@@ -102,11 +102,24 @@ def test_phrase_requires_bm25(pos_index):
         s.search_phrase("quick brown")
 
 
-def test_compact_refuses_positional_index(pos_index, tmp_path):
+def test_compact_preserves_phrase_rankings(pos_index, tmp_path):
+    # position streams merge by byte concatenation (each posting opens
+    # with an absolute value); phrase results must be identical across
+    # the physical merge
     from patapsco_ray.index.compact import compact_index
 
-    with pytest.raises(NotImplementedError, match="positional"):
-        compact_index(pos_index, tmp_path / "out")
+    man = compact_index(pos_index, tmp_path / "out",
+                        target_docs_per_segment=100)
+    assert man["positions"] is True
+    assert len(man["segments"]) == 1
+    a = IndexSearcher(pos_index, quantize_norms=False)
+    b = IndexSearcher(tmp_path / "out", quantize_norms=False)
+    for phrase in ("quick brown fox", "brown fox", "the lazy"):
+        ha = [(h["doc_id"], round(h["score"], 10))
+              for h in a.search_phrase(phrase, k=10)]
+        hb = [(h["doc_id"], round(h["score"], 10))
+              for h in b.search_phrase(phrase, k=10)]
+        assert ha == hb, phrase
 
 
 def test_positions_over_post_stopword_stream(ray_session, tmp_path):
@@ -151,6 +164,25 @@ def test_positions_codec_segment_roundtrip(pos_index):
         for o, plist in per_doc.items():
             dl = docs.column("dl")[o].as_py()
             assert sorted(plist) == list(range(dl))
+
+
+def test_search_dataset_phrase_matches_local(pos_index):
+    from patapsco_ray.search import search_dataset
+
+    queries = pa.table({
+        "query_id": ["p1", "p2", "p3"],
+        "query": ["quick brown fox", "brown fox", "zebra unicorn"],
+    })
+    dist = search_dataset(queries, pos_index, k=10, mode="phrase",
+                          concurrency=2, quantize_norms=False).to_pandas()
+    local = IndexSearcher(pos_index, quantize_norms=False)
+    for qid, qtext in zip(queries.column("query_id").to_pylist(),
+                          queries.column("query").to_pylist()):
+        want = [(h["doc_id"], h["rank"], round(h["score"], 9))
+                for h in local.search_phrase(qtext, k=10)]
+        got = dist[dist["query_id"] == qid].sort_values("rank")
+        assert [(d, r, round(s, 9)) for d, r, s in
+                zip(got["doc_id"], got["rank"], got["score"])] == want
 
 
 def test_encode_positions_bulk_empty():
