@@ -943,6 +943,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["video_frames"] = mm_video
 
+    def warc_roundtrip(sf: str):
+        # webtext ingestion: serialize the documents table as crawl-style
+        # WARC (one gzip member per record, half `response` records with
+        # an HTTP envelope, half bare `conversion` records), read it back
+        # through the WARC source, and verify byte-identity against the
+        # parquet original. Exercises ISO 28500 record grammar, HTTP
+        # payload stripping and the gzip-member decode on every row.
+        from patapsco_ray.sources.warc import (
+            build_http_response, build_warc_record, read_warc_documents,
+            write_warc_file,
+        )
+
+        warc_dir = _CACHE_ROOT / (
+            re.sub(r"[^A-Za-z0-9._-]", "_", str(sf).strip("/")) + "-warc-v1")
+        if not (warc_dir / ".complete").exists():
+            warc_dir.mkdir(parents=True, exist_ok=True)
+            tbl = pq.read_table(f"{sf}/documents.parquet",
+                                columns=["doc_id", "text"])
+            ids = tbl.column("doc_id").to_pylist()
+            texts = tbl.column("text").to_pylist()
+            n_files = max(2, len(ids) // 4096)
+            for f in range(n_files):
+                recs = []
+                for i in range(f, len(ids), n_files):
+                    d, payload = ids[i], texts[i].encode("utf-8")
+                    uri = f"http://example.org/doc/{d}"
+                    if d % 2 == 0:
+                        recs.append(build_warc_record(
+                            "response",
+                            build_http_response(
+                                payload,
+                                content_type="text/plain; charset=utf-8"),
+                            record_id=str(d), target_uri=uri))
+                    else:
+                        recs.append(build_warc_record(
+                            "conversion", payload, record_id=str(d),
+                            target_uri=uri,
+                            content_type="text/plain; charset=utf-8"))
+                write_warc_file(recs, warc_dir / f"part-{f:04d}.warc.gz")
+            (warc_dir / ".complete").touch()
+        ds = read_warc_documents(str(warc_dir / "*.warc.gz"))
+
+        def post(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": pa.compute.cast(t.column("doc_id"), pa.int64()),
+                "url": t.column("url"),
+                "text": t.column("text"),
+            })
+
+        return ds.map_batches(post, batch_format="pyarrow")
+
+    q["warc_roundtrip"] = warc_roundtrip
+
     return q
 
 
@@ -1355,6 +1408,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM (
               SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS k
               FROM documents) WHERE doc_id = k""",
+        "warc_roundtrip": """
+            SELECT doc_id, 'http://example.org/doc/' || doc_id AS url,
+                   text
+            FROM documents""",
         "bm25_topk": _RETRIEVAL_BASE.format(
             values=_queries_values(), term_score=_BM25_TERM
         ),

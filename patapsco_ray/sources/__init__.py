@@ -9,6 +9,12 @@ from .readers import (
     read_tsv_topics,
     topics_to_queries,
 )
+from .warc import (
+    build_http_response,
+    build_warc_record,
+    read_warc_documents,
+    write_warc_file,
+)
 
 __all__ = [
     "extract_text",
@@ -21,4 +27,8 @@ __all__ = [
     "read_tsv_documents",
     "read_tsv_topics",
     "topics_to_queries",
+    "build_http_response",
+    "build_warc_record",
+    "read_warc_documents",
+    "write_warc_file",
 ]
