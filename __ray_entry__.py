@@ -85,6 +85,9 @@ RETRIEVAL_QUERIES: list[tuple[str, str]] = [
 ]
 TOP_K = 10  # north rule: BM25 top-10 rank identity
 
+# per-language sampling rates for the stratified_sample query
+STRATA_RATES = {"en": 0.5, "de": 1.0, "fr": 0.25}
+
 # Fixed exact-adjacency phrase queries (positional-index path;
 # bigrams chosen to occur at every sf, incl. within-doc repetition)
 PHRASE_QUERIES: list[tuple[str, str]] = [
@@ -812,6 +815,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["sample_by_hash"] = sampled
 
+    def stratified(sf: str):
+        # per-language rates incl. a keep-all stratum (rate 1.0
+        # exercises the 2^64-threshold full-keep path) and a non-zero
+        # default for unlisted strata; hash identical to sample_by_hash
+        # so the oracle shares the splitmix64 SQL derivation
+        from patapsco_ray.functions import stratified_sample
+
+        return stratified_sample(
+            _docs(sf).select_columns(["doc_id", "lang"]),
+            rates=STRATA_RATES, strata_column="lang", seed=9,
+            default_rate=0.1)
+
+    q["stratified_sample"] = stratified
+
+    def unigram(sf: str):
+        # self-trained corpus unigram LM score: integer sums of
+        # per-term quantized log-probabilities (order-independent, so
+        # the SQL oracle's ln/floor reproduces values bit-for-bit)
+        from patapsco_ray.functions import unigram_logprob
+
+        return unigram_logprob(_docs(sf))
+
+    q["unigram_logprob"] = unigram
+
     # --- event-stream operators (windowed/sessionized aggregates) ---
     def _events(sf: str):
         return _read_clean(f"{sf}/events.parquet")
@@ -1320,6 +1347,38 @@ def _sample_sql() -> str:
     return f"SELECT doc_id FROM documents WHERE {pred}"
 
 
+def _stratified_sql() -> str:
+    from patapsco_ray.functions.sampling import stratified_sample_sql
+
+    pred = stratified_sample_sql(
+        "doc_id", "lang", STRATA_RATES, seed=9, default_rate=0.1)
+    return f"SELECT doc_id, lang FROM documents WHERE {pred}"
+
+
+_UNIGRAM_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id, t.term
+      FROM documents,
+        unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+          AS t(term)
+    ),
+    stats AS (SELECT term, count(*) AS cf FROM toks GROUP BY term),
+    tot AS (SELECT count(*) AS n FROM toks),
+    q AS (
+      SELECT term,
+        CAST(floor(ln(cf::DOUBLE / tot.n) * 1000000 + 0.5) AS BIGINT)
+          AS qlp
+      FROM stats, tot
+    )
+    SELECT d.doc_id,
+      count(t.term) AS n_tokens,
+      CAST(coalesce(sum(q.qlp), 0) AS BIGINT) AS sum_logprob_q
+    FROM documents d
+    LEFT JOIN toks t USING (doc_id)
+    LEFT JOIN q ON t.term = q.term
+    GROUP BY d.doc_id"""
+
+
 def _norm_report_sql() -> str:
     """VALUES oracle of the frozen NORM_EXPECTED counters (labels
     rendered with chr() so control chars survive)."""
@@ -1479,6 +1538,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY doc_id % 50, doc_id % 7""",
         "language_id": _language_id_sql(),
         "sample_by_hash": _sample_sql(),
+        "stratified_sample": _stratified_sql(),
+        "unigram_logprob": _UNIGRAM_SQL,
         "host_stats": r"""
             WITH u AS (SELECT d.text,
                 'https://u' || CAST(d.doc_id % 7 AS VARCHAR)

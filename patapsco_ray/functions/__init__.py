@@ -23,10 +23,11 @@ Ray Data transform:
 
 from .textstats import (token_counts, quality_signals, quality_filter,
                         language_id, fingerprints, winnow_fingerprints,
-                        repetition_signals)
+                        repetition_signals, unigram_corpus_stats,
+                        unigram_logprob)
 from .pii import pii_counts, redact_pii
 from .chunking import chunk_documents
-from .sampling import sample_by_hash
+from .sampling import sample_by_hash, stratified_sample
 from .urls import (canonicalize_url, canonicalize_urls, url_duplicates,
                    extract_hosts, host_stats)
 from .dedup import (
@@ -62,6 +63,9 @@ __all__ = [
     "redact_pii",
     "chunk_documents",
     "sample_by_hash",
+    "stratified_sample",
+    "unigram_corpus_stats",
+    "unigram_logprob",
     "exact_duplicates",
     "exact_duplicate_pairs",
     "ngram_contamination",

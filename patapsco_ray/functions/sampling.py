@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -70,6 +71,89 @@ def sample_by_hash(
         return tbl.filter(pa.array(mask))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def stratified_sample(
+    ds: ray.data.Dataset,
+    *,
+    rates: dict[str, float],
+    strata_column: str = "lang",
+    key_column: str = "doc_id",
+    seed: int = 0,
+    default_rate: float = 0.0,
+) -> ray.data.Dataset:
+    """Per-stratum deterministic sampling: each row's keep decision is
+    the :func:`sample_by_hash` predicate with the RATE chosen by its
+    stratum value (language balancing, per-source downsampling, ...).
+
+    Same scale shape as ``sample_by_hash``: one shuffle-free
+    ``map_batches``; the per-row threshold is a dictionary-encode +
+    ``take`` over the (tiny) set of distinct strata in the batch, so
+    the hot path stays fully vectorized. Because the hash ignores the
+    stratum, RAISING a stratum's rate strictly grows its sample
+    (nested subsets — the property that makes re-mixing reproducible).
+    """
+    salt = _salt(seed)
+    thr_map = {str(k): _threshold(r) for k, r in rates.items()}
+    default_thr = _threshold(default_rate)
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        col = tbl.column(key_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_integer(col.type):
+            keys = np.asarray(col.to_numpy(zero_copy_only=False)
+                              ).astype(_U64)
+        else:
+            keys = stable_hash_strings(col.cast(pa.string()))
+        with np.errstate(over="ignore"):
+            h = splitmix64(keys ^ _U64(salt))
+        strata = tbl.column(strata_column)
+        if isinstance(strata, pa.ChunkedArray):
+            strata = strata.combine_chunks()
+        enc = strata.cast(pa.string()).dictionary_encode()
+        dvals = enc.dictionary.to_pylist()
+        dthr = [thr_map.get(v, default_thr) if v is not None
+                else default_thr for v in dvals]
+        # rate==1.0 -> threshold 2^64 doesn't fit uint64: full-keep flag
+        thr_arr = np.array([min(t, 2**64 - 1) for t in dthr], dtype=_U64)
+        full_arr = np.array([t >= 2**64 for t in dthr], dtype=bool)
+        idx = np.asarray(
+            pc.fill_null(enc.indices, 0).to_numpy(zero_copy_only=False),
+            dtype=np.int64)
+        null_mask = np.asarray(enc.indices.is_null().to_numpy(
+            zero_copy_only=False), dtype=bool)
+        mask = full_arr[idx] | (h < thr_arr[idx])
+        if null_mask.any():
+            if default_thr >= 2**64:
+                mask[null_mask] = True
+            else:
+                mask[null_mask] = h[null_mask] < _U64(default_thr)
+        return tbl.filter(pa.array(mask))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def stratified_sample_sql(
+    key_expr: str,
+    strata_expr: str,
+    rates: dict[str, float],
+    seed: int = 0,
+    default_rate: float = 0.0,
+) -> str:
+    """The WHERE predicate matching :func:`stratified_sample` for
+    integer keys (shared by the driver oracle): one splitmix64 hash,
+    CASE-selected per-stratum threshold."""
+    salt = _salt(seed)
+    hashed = splitmix64_sql(
+        f"CAST(xor(CAST({key_expr} AS UBIGINT), "
+        f"CAST({salt} AS UBIGINT)) AS HUGEINT)")
+    arms = " ".join(
+        f"WHEN '{k}' THEN {_threshold(r)}::HUGEINT"
+        for k, r in sorted(rates.items()))
+    case = (f"(CASE {strata_expr} {arms} "
+            f"ELSE {_threshold(default_rate)}::HUGEINT END)")
+    return f"({hashed}) < {case}"
 
 
 def splitmix64_sql(expr: str) -> str:

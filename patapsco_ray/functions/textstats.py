@@ -470,3 +470,90 @@ def quality_filter(
 
     return signals.map_batches(keep, batch_format="pyarrow",
                                zero_copy_batch=True)
+
+
+def unigram_corpus_stats(
+    ds: ray.data.Dataset, *, text_column: str = "text"
+) -> tuple[dict, int]:
+    """Corpus unigram counts: per-batch ``np.unique`` partials (only
+    (term, cf) rows cross the shuffle — the same partial-agg-before-
+    groupby shape as the index global stats), folded by a term groupby,
+    collected to the driver (vocabulary-bounded, like the index's
+    global term stats). Returns ({term: cf}, total_tokens)."""
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        flat, _, nonempty = _tokens(tbl.column(text_column))
+        toks = np.asarray(flat.to_numpy(zero_copy_only=False), dtype=object)
+        toks = toks[nonempty]
+        uniq, counts = np.unique(toks.astype(str), return_counts=True)
+        return pa.table({
+            "term": pa.array(uniq.tolist(), pa.string()),
+            "cf": pa.array(counts, pa.int64()),
+        })
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term").sum("cf")
+        .take_all()
+    )
+    cf = {r["term"]: int(r["sum(cf)"]) for r in rows}
+    return cf, sum(cf.values())
+
+
+def unigram_logprob(
+    ds: ray.data.Dataset,
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    scale: int = 1_000_000,
+    stats: tuple[dict, int] | None = None,
+) -> ray.data.Dataset:
+    """Unigram-LM document scoring (the CCNet/KenLM-style quality
+    signal, self-trained): per document, the sum of per-token log
+    probabilities ``ln(cf(t)/N)`` under the corpus unigram model.
+
+    Determinism contract: each term's log-probability is quantized to
+    ``floor(ln(cf/N)*scale + 0.5)`` ONCE (driver-side ``math.log``, the
+    same libm the SQL oracle's ``ln`` resolves to), and per-document
+    scores are INTEGER sums of those quanta — order-independent, so the
+    Ray sum and the SQL sum agree bit-for-bit.
+
+    Scale posture: the model is a broadcast dict (``ray.put`` once,
+    read per actor), the scoring pass is one shuffle-free
+    ``map_batches`` with per-batch ``np.unique`` factorization so dict
+    lookups touch each DISTINCT batch term once, never each token.
+    Returns (id, n_tokens, sum_logprob_q).
+    """
+    import math
+
+    import ray as _ray
+
+    if stats is None:
+        stats = unigram_corpus_stats(ds, text_column=text_column)
+    cf, total = stats
+    qlp = {
+        t: int(math.floor(math.log(c / total) * scale + 0.5))
+        for t, c in cf.items()
+    }
+    qlp_ref = _ray.put(qlp)
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        model = _ray.get(qlp_ref)
+        flat, parent, nonempty = _tokens(tbl.column(text_column))
+        n = tbl.num_rows
+        toks = np.asarray(flat.to_numpy(zero_copy_only=False), dtype=object)
+        toks = toks[nonempty].astype(str)
+        parent = parent[nonempty]
+        uniq, inv = np.unique(toks, return_inverse=True)
+        uniq_q = np.array([model.get(t, 0) for t in uniq], dtype=np.int64)
+        per_tok = uniq_q[inv]
+        sums = np.zeros(n, dtype=np.int64)
+        np.add.at(sums, parent, per_tok)
+        n_tokens = np.bincount(parent, minlength=n).astype(np.int64)
+        return pa.table({
+            id_column: tbl.column(id_column),
+            "n_tokens": pa.array(n_tokens),
+            "sum_logprob_q": pa.array(sums),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
