@@ -829,6 +829,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["stratified_sample"] = stratified
 
+    def packed(sf: str):
+        # greedy token-budget packing per language group; the oracle
+        # replays the identical greedy scan with a recursive CTE
+        # (sequential there, vectorized searchsorted + orbit walk here)
+        from patapsco_ray.functions import pack_sequences
+
+        return pack_sequences(
+            _docs(sf).select_columns(["doc_id", "lang", "text"]),
+            budget=200, group_column="lang")
+
+    q["pack_sequences"] = packed
+
+    def shuffled(sf: str):
+        # deterministic hash-order global shuffle; checking the 100
+        # smallest hash keys value-checks the sort, and the oracle
+        # re-derives the splitmix64 key bit-exactly in SQL
+        from patapsco_ray.functions import shuffle_by_hash
+
+        return shuffle_by_hash(
+            _docs(sf).select_columns(["doc_id"]), seed=7).limit(100)
+
+    q["shuffle_by_hash"] = shuffled
+
     def unigram(sf: str):
         # self-trained corpus unigram LM score: integer sums of
         # per-term quantized log-probabilities (order-independent, so
@@ -1355,6 +1378,46 @@ def _stratified_sql() -> str:
     return f"SELECT doc_id, lang FROM documents WHERE {pred}"
 
 
+def _shuffle_sql() -> str:
+    from patapsco_ray.functions.sampling import _salt, splitmix64_sql
+
+    h = splitmix64_sql(
+        f"CAST(xor(CAST(doc_id AS UBIGINT), "
+        f"CAST({_salt(7)} AS UBIGINT)) AS HUGEINT)")
+    return (f"SELECT doc_id, CAST(({h}) AS UBIGINT) AS shuffle_key "
+            f"FROM documents ORDER BY shuffle_key LIMIT 100")
+
+
+# the oracle replays pack_sequences' greedy scan sequentially: a
+# recursive CTE threading (acc, pack_id, pack_pos) doc-by-doc in
+# doc_id order within each lang group
+_PACK_SQL = r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, lang,
+        len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+          AS n
+      FROM documents),
+    o AS (
+      SELECT doc_id, lang, n,
+        row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM toks),
+    r AS (
+      SELECT lang, rn, doc_id, n, n AS acc,
+        CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS pack_pos
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.lang, o.rn, o.doc_id, o.n,
+        CASE WHEN r.acc + o.n > 200 THEN o.n ELSE r.acc + o.n END,
+        CASE WHEN r.acc + o.n > 200 THEN r.pack_id + 1
+             ELSE r.pack_id END,
+        CASE WHEN r.acc + o.n > 200 THEN 0 ELSE r.pack_pos + 1 END
+      FROM r JOIN o ON o.lang = r.lang AND o.rn = r.rn + 1
+    )
+    SELECT doc_id, lang, CAST(n AS BIGINT) AS n_tokens,
+      pack_id, pack_pos
+    FROM r"""
+
+
 _UNIGRAM_SQL = r"""
     WITH toks AS (
       SELECT doc_id, t.term
@@ -1539,6 +1602,8 @@ def oracle_sql() -> dict[str, str]:
         "language_id": _language_id_sql(),
         "sample_by_hash": _sample_sql(),
         "stratified_sample": _stratified_sql(),
+        "pack_sequences": _PACK_SQL,
+        "shuffle_by_hash": _shuffle_sql(),
         "unigram_logprob": _UNIGRAM_SQL,
         "host_stats": r"""
             WITH u AS (SELECT d.text,

@@ -246,6 +246,8 @@ def run_sf_ops(sf_dir: str) -> dict:
         "remove_dup_spans",
         "phrase_topk",
         "length_quantiles",
+        "pack_sequences",
+        "shuffle_by_hash",
     ]
     repeats = int(os.environ.get("BENCH_OPS_REPEATS", "3"))
     out = {}

@@ -26,8 +26,8 @@ from .textstats import (token_counts, quality_signals, quality_filter,
                         repetition_signals, unigram_corpus_stats,
                         unigram_logprob)
 from .pii import pii_counts, redact_pii
-from .chunking import chunk_documents
-from .sampling import sample_by_hash, stratified_sample
+from .chunking import chunk_documents, pack_sequences
+from .sampling import sample_by_hash, shuffle_by_hash, stratified_sample
 from .urls import (canonicalize_url, canonicalize_urls, url_duplicates,
                    extract_hosts, host_stats)
 from .dedup import (
@@ -62,7 +62,9 @@ __all__ = [
     "pii_counts",
     "redact_pii",
     "chunk_documents",
+    "pack_sequences",
     "sample_by_hash",
+    "shuffle_by_hash",
     "stratified_sample",
     "unigram_corpus_stats",
     "unigram_logprob",

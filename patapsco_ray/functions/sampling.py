@@ -192,6 +192,51 @@ def splitmix64_sql(expr: str) -> str:
     return z
 
 
+def shuffle_by_hash(
+    ds: ray.data.Dataset,
+    *,
+    key_column: str = "doc_id",
+    seed: int = 0,
+    hash_column: str = "shuffle_key",
+) -> ray.data.Dataset:
+    """Deterministic global shuffle: order rows by
+    ``splitmix64(uint64(key) ^ splitmix64(seed))``.
+
+    The training-order shuffle for emitting examples: unlike
+    ``Dataset.random_shuffle`` the permutation depends only on
+    (key, seed) — re-runs, resumes and different cluster shapes
+    produce the SAME order, and changing ``seed`` gives an
+    independent permutation. Implemented as one shuffle-free
+    ``map_batches`` computing the hash column followed by
+    ``Dataset.sort`` on it — Ray's sample-based range-partitioned
+    sort, the one deliberate all-to-all this operator is FOR (a
+    global shuffle cannot move less than all the data); downstream
+    ``write_parquet`` then emits range-partitioned files whose
+    lexical file order IS the training order. The hash column is
+    kept in the output so order is externally checkable (the driver
+    oracle re-derives it bit-exactly in SQL via
+    :func:`splitmix64_sql`)."""
+    salt = _salt(seed)
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.replace_schema_metadata(None)
+        col = tbl.column(key_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_integer(col.type):
+            keys = np.asarray(col.to_numpy(zero_copy_only=False)
+                              ).astype(_U64)
+        else:
+            keys = stable_hash_strings(col.cast(pa.string()))
+        with np.errstate(over="ignore"):
+            h = splitmix64(keys ^ _U64(salt))
+        return tbl.append_column(hash_column, pa.array(h))
+
+    return ds.map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    ).sort(hash_column)
+
+
 def sample_by_hash_sql(key_expr: str, rate: float, seed: int = 0) -> str:
     """The WHERE predicate matching :func:`sample_by_hash` for integer
     keys (shared by the driver oracle)."""
