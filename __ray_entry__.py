@@ -88,6 +88,10 @@ TOP_K = 10  # north rule: BM25 top-10 rank identity
 # per-language sampling rates for the stratified_sample query
 STRATA_RATES = {"en": 0.5, "de": 1.0, "fr": 0.25}
 
+# tombstone rule for the bm25_topk_deleted query: every doc_id with
+# doc_id % MOD == REM is deleted (deterministic at any sf)
+_DELETE_MOD, _DELETE_REM = 7, 3
+
 # Fixed exact-adjacency phrase queries (positional-index path;
 # bigrams chosen to occur at every sf, incl. within-doc repetition)
 PHRASE_QUERIES: list[tuple[str, str]] = [
@@ -246,6 +250,31 @@ def _index_pos_for(sf_dir: str) -> str:
     return str(index_dir)
 
 
+def _index_deleted_for(sf_dir: str) -> str:
+    """Build (or reuse) a SEPARATE index copy carrying tombstones for
+    every doc_id % _DELETE_MOD == _DELETE_REM (the shared cached index
+    must stay tombstone-free for the other retrieval queries)."""
+    key = re.sub(r"[^A-Za-z0-9._-]", "_", str(sf_dir).strip("/"))
+    index_dir = _CACHE_ROOT / f"{key}-docs-del-v1"
+    build_index(
+        f"{sf_dir}/documents.parquet",
+        index_dir,
+        text_config=SQL_TEXT_CONFIG,
+        id_column="doc_id",
+        text_column="text",
+        html_column=None,
+        rows_per_segment=200,
+    )
+    from patapsco_ray.index import delete_documents
+
+    ids = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id"]).column("doc_id")
+    vals = np.asarray(ids.to_numpy(zero_copy_only=False))
+    victims = [str(v) for v in vals[vals % _DELETE_MOD == _DELETE_REM]]
+    delete_documents(index_dir, victims)
+    return str(index_dir)
+
+
 def _store_for(sf_dir: str) -> str:
     """Build (or reuse) the processed-docs store for one scale factor
     (RM3 feedback needs the stored document text)."""
@@ -348,6 +377,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- index build + retrieval (the reference's core pipeline) ---
     q["bm25_topk"] = lambda sf: _search(sf, "bm25")
     q["qld_topk"] = lambda sf: _search(sf, "qld")
+
+    def bm25_deleted(sf: str):
+        # Lucene tombstone semantics: deleted docs filtered from every
+        # ranking, stats unchanged; the oracle applies the same
+        # candidate filter with corpus-wide stats
+        searcher = IndexSearcher(_index_deleted_for(sf),
+                                 quantize_norms=False)
+        tbl = searcher.search_batch(RETRIEVAL_QUERIES, k=TOP_K + 16)
+        return _rank_rounded(tbl, TOP_K)
+
+    q["bm25_topk_deleted"] = bm25_deleted
 
     def phrase(sf: str):
         # positional index: exact-adjacency phrase BM25 (summed term
@@ -1085,6 +1125,7 @@ scored AS (
          JOIN df ON df.term = q.term
          JOIN dl ON dl.doc_id = tf.doc_id
          CROSS JOIN stats s
+  {{cand_filter}}
   GROUP BY q.query_id, tf.doc_id)
 SELECT query_id, doc_id,
   CAST(row_number() OVER (PARTITION BY query_id
@@ -1535,10 +1576,19 @@ def oracle_sql() -> dict[str, str]:
                    text
             FROM documents""",
         "bm25_topk": _RETRIEVAL_BASE.format(
-            values=_queries_values(), term_score=_BM25_TERM
+            values=_queries_values(), term_score=_BM25_TERM,
+            cand_filter="",
         ),
         "qld_topk": _RETRIEVAL_BASE.format(
-            values=_queries_values(), term_score=_QLD_TERM
+            values=_queries_values(), term_score=_QLD_TERM,
+            cand_filter="",
+        ),
+        # Lucene delete semantics: tombstoned docs filtered from
+        # CANDIDACY only — every statistic (n, avgdl, df, cf, dl)
+        # still counts them, so surviving docs' scores are unchanged
+        "bm25_topk_deleted": _RETRIEVAL_BASE.format(
+            values=_queries_values(), term_score=_BM25_TERM,
+            cand_filter=f"WHERE tf.doc_id % {_DELETE_MOD} <> {_DELETE_REM}",
         ),
         "phrase_topk": _PHRASE_SQL.format(values=_phrase_values()),
         "psq_topk": _PSQ_SQL.format(values=_psq_values()),
@@ -1549,6 +1599,7 @@ def oracle_sql() -> dict[str, str]:
         ).format(
             values=_rm3_weighted_values(),
             term_score=f"q.w * ({_BM25_TERM})",
+            cand_filter="",
         ),
         "bm25_topk_quantized": _quantized_bm25_sql(),
         "processed_token_counts": f"""

@@ -11,7 +11,10 @@
 - ``python -m patapsco_ray build -i PARQUET -o IDX [...]`` — direct
   index build (aligned or shuffle strategy).
 - ``python -m patapsco_ray compact -i IDX -o OUT [--target-docs N]``
-  — merge small segments into larger ones.
+  — merge small segments into larger ones (purges tombstones unless
+  ``--keep-deletes``).
+- ``python -m patapsco_ray delete -i IDX id1 id2 ...`` — tombstone
+  documents (Lucene-style: filtered at search, purged at compaction).
 """
 
 from __future__ import annotations
@@ -156,6 +159,31 @@ def _build_main(argv: list[str]) -> int:
             ray.shutdown()
 
 
+def _delete_main(argv: list[str]) -> int:
+    """Tombstone documents (``index.deletes.delete_documents``)."""
+    ap = argparse.ArgumentParser(
+        prog="patapsco_ray delete",
+        description="Tombstone doc ids (filtered at search; purged by "
+                    "the next compact)")
+    ap.add_argument("-i", "--index", required=True)
+    ap.add_argument("ids", nargs="*", help="doc ids; or use --from-file")
+    ap.add_argument("--from-file", default=None,
+                    help="newline-delimited doc-id file")
+    a = ap.parse_args(argv)
+    ids = list(a.ids)
+    if a.from_file:
+        with open(a.from_file) as f:
+            ids.extend(line.strip() for line in f if line.strip())
+    if not ids:
+        print("no doc ids given", file=sys.stderr)
+        return 2
+    from .index.deletes import delete_documents
+
+    total = delete_documents(a.index, ids)
+    print(json.dumps({"deleted_total": total}))
+    return 0
+
+
 def _compact_main(argv: list[str]) -> int:
     """Segment compaction (``index.compact.compact_index``)."""
     ap = argparse.ArgumentParser(prog="patapsco_ray compact",
@@ -164,6 +192,8 @@ def _compact_main(argv: list[str]) -> int:
     ap.add_argument("-o", "--output", required=True)
     ap.add_argument("--target-docs", type=int, default=1_000_000)
     ap.add_argument("--concurrency", type=int, default=None)
+    ap.add_argument("--keep-deletes", action="store_true",
+                    help="carry tombstones over instead of purging")
     a = ap.parse_args(argv)
 
     import ray
@@ -176,7 +206,8 @@ def _compact_main(argv: list[str]) -> int:
 
         m = compact_index(a.index, a.output,
                           target_docs_per_segment=a.target_docs,
-                          concurrency=a.concurrency)
+                          concurrency=a.concurrency,
+                          purge_deletes=not a.keep_deletes)
         print(json.dumps({"ndocs": m["ndocs"],
                           "segments": len(m["segments"])}))
         return 0
@@ -195,6 +226,8 @@ def main(argv: list[str] | None = None) -> int:
         return _build_main(argv[1:])
     if argv and argv[0] == "compact":
         return _compact_main(argv[1:])
+    if argv and argv[0] == "delete":
+        return _delete_main(argv[1:])
     ap = argparse.ArgumentParser(
         prog="patapsco_ray",
         description="Run a config-driven index+retrieve pipeline",

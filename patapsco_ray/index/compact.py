@@ -164,6 +164,15 @@ def _merge_group(index_dir: str, out_dir: str, group: list[dict],
         # state), so segment order == merged posting order suffices
         rows["positions"].append(b"".join(posblobs))
         npostings += df
+    return _write_merged(out, new_seg_id, rows, has_positions,
+                         docs_table, group, npostings)
+
+
+def _write_merged(out: pathlib.Path, new_seg_id: str, rows: dict,
+                  has_positions: bool, docs_table: pa.Table,
+                  group: list[dict], npostings: int) -> dict:
+    """Write one merged segment (terms + docs + lineage meta)
+    atomically; shared by the rebase fast path and the purge path."""
     cols_out = {
         "term": pa.array(rows["term"], pa.string()),
         "df": pa.array(rows["df"], pa.int64()),
@@ -221,10 +230,104 @@ def _merge_group(index_dir: str, out_dir: str, group: list[dict],
     return meta
 
 
+def _merge_group_purged(index_dir: str, out_dir: str, group: list[dict],
+                        new_seg_id: str, deleted) -> dict:
+    """Merge one group while physically dropping tombstoned docs.
+
+    Unlike the decode-free rebase path, purging must decode every
+    posting (ordinals of surviving docs shift), filter, remap and
+    re-encode — the price Lucene also pays when merging away deletes.
+    df/cf/norm block metadata are recomputed from the surviving
+    postings; position streams are filtered posting-wise.
+    """
+    import numpy as np
+
+    from .codec import decode_postings, decode_positions, encode_postings
+    from .codec import encode_positions_bulk
+
+    index_dir = pathlib.Path(index_dir)
+    out = pathlib.Path(out_dir)
+    doc_tables = []
+    bases = []
+    base = 0
+    for seg in group:
+        t = read_docs(index_dir, seg["seg_id"])
+        doc_tables.append(t)
+        bases.append(base)
+        base += t.num_rows
+    docs_all = pa.concat_tables(doc_tables).combine_chunks()
+    ids = np.asarray(docs_all.column("doc_id").to_numpy(
+        zero_copy_only=False), dtype=object)
+    keep = ~np.isin(ids, deleted)
+    newmap = np.cumsum(keep) - 1          # old global ord -> new ord
+    docs_table = docs_all.filter(pa.array(keep))
+    norms_new = docs_table.column("norm").to_numpy().astype(np.uint8)
+
+    # gather each term's SURVIVING postings (decoded) in segment order
+    gathered: dict[str, list[tuple]] = {}
+    has_positions = False
+    for gi, seg in enumerate(group):
+        t = read_terms(index_dir, seg["seg_id"])
+        b = bases[gi]
+        has_positions = "positions" in t.column_names
+        for r in t.to_pylist():
+            ords, tfs = decode_postings(
+                r["postings"], r["block_offsets"], r["block_counts"])
+            gords = ords + b
+            pmask = keep[gords]
+            pos_k = None
+            if has_positions:
+                pos_flat = decode_positions(
+                    r["positions"], int(tfs.sum()),
+                    tfs.astype(np.int64))
+                pos_k = pos_flat[np.repeat(pmask, tfs)]
+            if not pmask.any():
+                # keep the term key so a fully-deleted term still
+                # vanishes consistently (df=0 rows are dropped below)
+                continue
+            gathered.setdefault(r["term"], []).append((
+                newmap[gords[pmask]], tfs[pmask], pos_k))
+
+    rows = {name: [] for name in (
+        "term", "df", "cf", "postings", "block_offsets", "block_counts",
+        "block_last", "block_max_tf", "block_min_norm", "positions")}
+    npostings = 0
+    for term in sorted(gathered):
+        chunks = gathered[term]
+        ords_cat = np.concatenate([c[0] for c in chunks])
+        tfs_cat = np.concatenate([c[1] for c in chunks])
+        enc = encode_postings(ords_cat, tfs_cat, norms_new[ords_cat])
+        rows["term"].append(term)
+        rows["df"].append(len(ords_cat))
+        rows["cf"].append(int(tfs_cat.sum()))
+        rows["postings"].append(enc["postings"])
+        rows["block_offsets"].append(enc["block_offsets"])
+        rows["block_counts"].append(enc["block_counts"])
+        rows["block_last"].append(enc["block_last"])
+        rows["block_max_tf"].append(enc["block_max_tf"])
+        rows["block_min_norm"].append(enc["block_min_norm"])
+        if has_positions:
+            pos_cat = np.concatenate([c[2] for c in chunks])
+            pe = encode_positions_bulk(
+                pos_cat, tfs_cat.astype(np.int64),
+                np.array([0, len(tfs_cat)], dtype=np.int64))
+            rows["positions"].append(pe["data"])
+        else:
+            rows["positions"].append(b"")
+        npostings += len(ords_cat)
+    return _write_merged(out, new_seg_id, rows, has_positions,
+                         docs_table, group, npostings)
+
+
 class _Compactor:
-    def __init__(self, index_dir: str, out_dir: str):
+    def __init__(self, index_dir: str, out_dir: str,
+                 deleted_ref=None):
         self.index_dir = index_dir
         self.out_dir = out_dir
+        # tombstones broadcast ONCE via ray.put (constructor runs per
+        # actor, not per merge group)
+        self.deleted = (ray.get(deleted_ref)
+                        if deleted_ref is not None else None)
 
     def __call__(self, batch) -> pa.Table:
         if isinstance(batch, pa.Table):
@@ -232,8 +335,13 @@ class _Compactor:
         rows = []
         for i in range(len(batch["new_seg_id"])):
             group = json.loads(batch["group_json"][i])
-            meta = _merge_group(self.index_dir, self.out_dir, group,
-                                str(batch["new_seg_id"][i]))
+            if self.deleted is not None:
+                meta = _merge_group_purged(
+                    self.index_dir, self.out_dir, group,
+                    str(batch["new_seg_id"][i]), self.deleted)
+            else:
+                meta = _merge_group(self.index_dir, self.out_dir, group,
+                                    str(batch["new_seg_id"][i]))
             rows.append(meta)
         return pa.table({
             "seg_id": pa.array([m["seg_id"] for m in rows], pa.string()),
@@ -250,17 +358,30 @@ def compact_index(
     *,
     target_docs_per_segment: int = 1_000_000,
     concurrency: int | None = None,
+    purge_deletes: bool = True,
 ) -> dict:
     """Compact an index into fewer, larger segments (new directory).
 
     Groups CONSECUTIVE segments (global ordinal order preserved — the
     docid-ascending tie-break survives) until each group reaches the
     target doc count, then merges groups in parallel.
+
+    When the source index has tombstones (index.deletes) and
+    ``purge_deletes`` is True (default), the merge drops the deleted
+    docs physically and RECOMPUTES every statistic (df/cf per term,
+    ndocs, avgdl, global_terms) — after which the compacted index
+    scores exactly as if the docs had never been indexed. With
+    ``purge_deletes=False`` the tombstone file is carried over
+    unchanged (pure layout compaction).
     """
     index_dir = pathlib.Path(index_dir)
     out_dir = pathlib.Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     manifest = read_manifest(index_dir)
+    from .deletes import deleted_id_set
+
+    deleted = deleted_id_set(index_dir) if purge_deletes else None
+    deleted_ref = ray.put(deleted) if deleted is not None else None
     groups: list[list[dict]] = []
     cur: list[dict] = []
     cur_docs = 0
@@ -283,7 +404,8 @@ def compact_index(
     stats = ray.data.from_items(items).map_batches(
         _Compactor,
         fn_constructor_kwargs={"index_dir": str(index_dir),
-                               "out_dir": str(out_dir)},
+                               "out_dir": str(out_dir),
+                               "deleted_ref": deleted_ref},
         batch_size=1,
         concurrency=fixed_pool(concurrency),
         num_cpus=1,
@@ -306,12 +428,31 @@ def compact_index(
         base += s["ndocs"]
     new_manifest["compacted_from"] = str(index_dir)
 
-    # global term stats are unchanged by compaction; copy the shards
-    src_gt = index_dir / "global_terms"
-    dst_gt = out_dir / "global_terms"
-    if src_gt.exists():
-        dst_gt.mkdir(exist_ok=True)
-        for f in src_gt.glob("*.parquet"):
-            (dst_gt / f.name).write_bytes(f.read_bytes())
+    if deleted is not None:
+        # purging changed df/cf/ndocs: recompute corpus stats and
+        # rebuild global_terms from the new segments
+        ndocs = sum(s["ndocs"] for s in new_manifest["segments"])
+        total_tf = sum(s["total_tf"] for s in new_manifest["segments"])
+        new_manifest["ndocs"] = ndocs
+        new_manifest["total_tf"] = total_tf
+        new_manifest["avgdl"] = (total_tf / ndocs) if ndocs else 0.0
+        from .build import finalize_index
+
+        finalize_index(out_dir, new_manifest)
+    else:
+        # global term stats are unchanged; copy the shards (and any
+        # tombstones — layout compaction must not resurrect deletes)
+        src_gt = index_dir / "global_terms"
+        dst_gt = out_dir / "global_terms"
+        if src_gt.exists():
+            dst_gt.mkdir(exist_ok=True)
+            for f in src_gt.glob("*.parquet"):
+                (dst_gt / f.name).write_bytes(f.read_bytes())
+        src_del = index_dir / "deletes"
+        if src_del.exists():
+            dst_del = out_dir / "deletes"
+            dst_del.mkdir(exist_ok=True)
+            for f in src_del.glob("*.parquet"):
+                (dst_del / f.name).write_bytes(f.read_bytes())
     write_manifest(out_dir, new_manifest)
     return new_manifest

@@ -88,12 +88,19 @@ def lookup_global_stats(index_dir, terms: list[str]) -> dict[str, tuple[int, int
 class SegmentScorer:
     """Holds one segment's norms (and lazily, postings) for scoring."""
 
-    def __init__(self, index_dir, seg: dict, quantize_norms: bool = True):
+    def __init__(self, index_dir, seg: dict, quantize_norms: bool = True,
+                 deleted: "np.ndarray | None" = None):
         self.index_dir = index_dir
         self.seg_id = seg["seg_id"]
         self.base = seg["base"]
         self.ndocs = seg["ndocs"]
         self.quantize_norms = quantize_norms
+        # tombstones (index.deletes): sorted doc_id array or None.
+        # The ordinal live mask is derived lazily (one np.isin against
+        # this segment's doc_ids) and cached for the scorer's lifetime
+        self._deleted = deleted
+        self._live: np.ndarray | None = None
+        self._live_ready = deleted is None
         cols = ["norm"] if quantize_norms else ["norm", "dl"]
         docs = read_docs(index_dir, self.seg_id, columns=cols)
         self.norms = docs.column("norm").to_numpy().astype(np.uint8)
@@ -162,6 +169,25 @@ class SegmentScorer:
             for r in tbl.to_pylist():
                 out[r["term"]] = r
         return out
+
+    @property
+    def live(self) -> "np.ndarray | None":
+        """Boolean live mask over segment ordinals, or None when no
+        tombstone touches this segment. Scoring keeps deleted docs in
+        every accumulation (so surviving scores stay bit-identical —
+        stats include deletes until compaction, like Lucene) and drops
+        them only from candidacy, before any top-k cut."""
+        if not self._live_ready:
+            if self._doc_ids is None:
+                self._doc_ids = read_docs(self.index_dir, self.seg_id,
+                                          columns=["doc_id"]
+                                          ).column("doc_id")
+            ids = np.asarray(
+                self._doc_ids.to_numpy(zero_copy_only=False), dtype=object)
+            mask = ~np.isin(ids, self._deleted)
+            self._live = None if mask.all() else mask
+            self._live_ready = True
+        return self._live
 
     def doc_ids_for(self, ordinals: np.ndarray) -> list[str]:
         if self._doc_ids is None:
@@ -325,6 +351,14 @@ class SegmentScorer:
             u_scores = np.zeros(len(u_ords), dtype=np.float64)
             for o, c in slices:
                 u_scores[np.searchsorted(u_ords, o)] += c
+            if self.live is not None:
+                # drop tombstones BEFORE the heap: a deleted doc must
+                # not raise the pruning threshold, or a block holding
+                # the true k-th live doc could be skipped
+                lm = self.live[u_ords]
+                u_ords, u_scores = u_ords[lm], u_scores[lm]
+                if not u_ords.size:
+                    continue
             cand_ords.append(u_ords)
             cand_scores.append(u_scores)
             for s_ in u_scores:
@@ -337,15 +371,20 @@ class SegmentScorer:
         return self._select_topk(np.concatenate(cand_ords),
                                  np.concatenate(cand_scores), k)
 
-    @staticmethod
-    def _select_topk(cand: np.ndarray, cscores: np.ndarray, k: int
+    def _select_topk(self, cand: np.ndarray, cscores: np.ndarray, k: int
                      ) -> tuple[np.ndarray, np.ndarray]:
         """Exact top-k with deterministic (score desc, ordinal asc)
         tie-break: partition to find the k-th score, keep EVERY
         candidate tied with it, then lexsort and truncate — so ties at
         the boundary always resolve to the lowest ordinals, regardless
         of candidate arrival order (argpartition alone picks arbitrary
-        members among equal scores)."""
+        members among equal scores). Tombstoned docs are dropped here,
+        before the cut — the single choke point every scoring path
+        (dense, block-max, phrase, PSQ) funnels through."""
+        live = self.live
+        if live is not None and cand.size:
+            lm = live[cand]
+            cand, cscores = cand[lm], cscores[lm]
         if cand.size > k:
             part = np.argpartition(-cscores, k - 1)
             kth = cscores[part[k - 1]]
@@ -518,12 +557,18 @@ class IndexSearcher:
         # broad/head-term queries; True forces it, "auto" engages it
         # per query when the rarest term is selective (_resolve_prune)
         self.prune = prune
+        # tombstones load once per searcher (index.deletes); every
+        # segment scorer shares the sorted id array
+        from ..index.deletes import deleted_id_set
+
+        self.deleted = deleted_id_set(self.index_dir)
         self._segments: dict[str, SegmentScorer] = {}
 
     def _segment(self, seg: dict) -> SegmentScorer:
         ss = self._segments.get(seg["seg_id"])
         if ss is None:
-            ss = SegmentScorer(self.index_dir, seg, self.quantize_norms)
+            ss = SegmentScorer(self.index_dir, seg, self.quantize_norms,
+                               deleted=self.deleted)
             self._segments[seg["seg_id"]] = ss
         return ss
 
