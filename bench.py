@@ -295,8 +295,13 @@ def run_scale_dedup(num_cpus: int) -> None:
 
         # skip the 5% html-only rows (empty text): their dups would all
         # become the identical one-token doc " dupmarkertoken" — one
-        # giant C(n,2) family instead of size-2 families
-        pick = (np.arange(tbl.num_rows) % 20 == 0) & np.asarray(
+        # giant C(n,2) family instead of size-2 families. The pick is a
+        # HASH of the url, not a positional arange: batch boundaries
+        # vary run to run, a row's url does not (measured 38,693 vs
+        # 36,310 pairs across two runs with the arange pick)
+        from patapsco_ray.functions.hashing import stable_hash_strings
+        urls = tbl.column("url").combine_chunks().cast(pa.string())
+        pick = (stable_hash_strings(urls) % np.uint64(20) == 0) & np.asarray(
             pc.not_equal(pc.fill_null(tbl.column("text"), ""), "")
             .to_numpy(zero_copy_only=False), dtype=bool)
         dup = tbl.filter(pa.array(pick))
@@ -325,7 +330,8 @@ def run_scale_dedup(num_cpus: int) -> None:
     queries["near_dedup_sec"] = round(time.time() - t0, 1)
     queries["near_dedup_kept"] = kept.count()
     queries["corpus_rows"] = CORPUS_ROWS
-    queries["input_rows"] = CORPUS_ROWS + CORPUS_ROWS // 20
+    # ~1/20 of non-empty rows duplicated (hash pick, so approximate)
+    queries["input_rows_nominal"] = CORPUS_ROWS + CORPUS_ROWS // 20
 
     print(json.dumps({
         "metric": "web-scale dedup chain wall time",

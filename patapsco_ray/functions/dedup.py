@@ -596,34 +596,88 @@ def minhash_lsh_pairs(
         lambda t: _minhash_band_buckets(t, include_sig=False, **sig_kwargs),
         batch_format="pyarrow", zero_copy_batch=True)
 
-    def bucket_pairs(grp: pa.Table) -> pa.Table:
-        m = grp.num_rows
-        id_type = grp.column("id").type
-        empty = pa.table({"id_a": pa.array([], id_type),
-                          "id_b": pa.array([], id_type)})
-        if m < 2:
-            return empty
-        if m > max_bucket:
-            _LOG.warning(
-                "minhash_lsh_pairs: dropping LSH bucket with %d members "
-                "> max_bucket=%d (candidate recall reduced)", m, max_bucket)
-            return empty
-        order = pc.sort_indices(grp.column("id"))
-        ids = grp.column("id").take(order).combine_chunks()
-        # drop same-id repeats (a doc can collide via >1 band)
-        if m > 1:
-            idv = np.asarray(ids.to_numpy(zero_copy_only=False))
-            first = np.concatenate([[True], idv[1:] != idv[:-1]])
-            ids = ids.filter(pa.array(first))
-            m = len(ids)
-        if m < 2:
-            return empty
-        a_idx, b_idx = np.triu_indices(m, 1)
-        return pa.table({"id_a": ids.take(pa.array(a_idx)),
-                         "id_b": ids.take(pa.array(b_idx))})
+    # ---- candidate pairs: coarse-partition vectorized triangles ----
+    # nearly every bucket is a singleton (measured: 7.6M band rows ->
+    # 7.6M distinct buckets on a 500k-doc no-dup corpus), so a
+    # groupby("bucket").map_groups pays one Python call per BUCKET —
+    # millions of interpreter slices for nothing. Partition by
+    # hash(bucket) % P instead and emit every bucket's upper triangle
+    # in ONE vectorized pass per partition (measured 2.2x end-to-end
+    # at 500k docs: 48.9 s -> 22.4 s, now minhash-compute bound).
+    from .windows import _field_type
 
-    pairs = buckets.groupby("bucket").map_groups(
-        bucket_pairs, batch_format="pyarrow")
+    id_type = _field_type(ds, id_column)
+    bpair_schema = pa.schema([("id_a", id_type), ("id_b", id_type)])
+
+    def add_bpart(tbl: pa.Table) -> pa.Table:
+        bk = tbl.column("bucket").to_numpy().view(_U64)
+        return tbl.append_column("bpart", pa.array(
+            (bk % _U64(_DISTINCT_PARTS)).astype(np.int64)))
+
+    def bucket_pairs_part(grp: pa.Table) -> pa.Table:
+        if grp.num_rows < 2:
+            return bpair_schema.empty_table()
+        order = pc.sort_indices(grp, sort_keys=[
+            ("bucket", "ascending"), ("id", "ascending")])
+        t = grp.take(order).combine_chunks()
+        bk = t.column("bucket").to_numpy()
+        idv = np.asarray(t.column("id").to_numpy(zero_copy_only=False))
+        n = len(bk)
+        new_b = np.empty(n, dtype=bool)
+        new_b[0] = True
+        new_b[1:] = bk[1:] != bk[:-1]
+        # head-bucket cap on RAW band rows (pre-dedup), matching the
+        # per-bucket implementation's semantics
+        starts = np.flatnonzero(new_b)
+        sizes = np.diff(np.append(starts, n))
+        big = sizes > max_bucket
+        if big.any():
+            _LOG.warning(
+                "minhash_lsh_pairs: dropping %d LSH bucket(s) with up "
+                "to %d members > max_bucket=%d (candidate recall "
+                "reduced)", int(big.sum()), int(sizes.max()), max_bucket)
+            drop = np.repeat(big, sizes)
+            keep = ~drop
+            bk, idv, new_b = bk[keep], idv[keep], None
+            ids_arr = t.column("id").filter(pa.array(keep))
+            n = len(bk)
+            if n < 2:
+                return bpair_schema.empty_table()
+            new_b = np.empty(n, dtype=bool)
+            new_b[0] = True
+            new_b[1:] = bk[1:] != bk[:-1]
+        else:
+            ids_arr = t.column("id")
+        # drop same-(bucket, id) repeats (a doc can collide via >1 band)
+        first = new_b.copy()
+        first[1:] |= idv[1:] != idv[:-1]
+        if not first.all():
+            ids_arr = ids_arr.filter(pa.array(first))
+            bk = bk[first]
+            n = len(bk)
+            new_b = np.empty(n, dtype=bool)
+            new_b[0] = True
+            new_b[1:] = bk[1:] != bk[:-1]
+        # per-row pair fanout: row at local index i of a size-s bucket
+        # pairs with the s-1-i rows after it
+        starts = np.flatnonzero(new_b)
+        sizes = np.diff(np.append(starts, n))
+        local = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
+        reps = np.repeat(sizes, sizes) - 1 - local
+        total = int(reps.sum())
+        if total == 0:
+            return bpair_schema.empty_table()
+        a_idx = np.repeat(np.arange(n, dtype=np.int64), reps)
+        b_idx = (np.arange(total, dtype=np.int64)
+                 - np.repeat(np.cumsum(reps) - reps, reps) + a_idx + 1)
+        return pa.table({"id_a": ids_arr.take(pa.array(a_idx)),
+                         "id_b": ids_arr.take(pa.array(b_idx))},
+                        schema=bpair_schema)
+
+    pairs = buckets.map_batches(
+        add_bpart, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("bpart").map_groups(bucket_pairs_part,
+                                  batch_format="pyarrow")
 
     from .windows import _field_type, _pin
 
