@@ -159,6 +159,28 @@ def _build_main(argv: list[str]) -> int:
             ray.shutdown()
 
 
+def _norm_main(argv: list[str]) -> int:
+    """Normalize a text file to stdout (reference
+    patapsco/bin/normalize.py: pre_normalize, lowercase off)."""
+    ap = argparse.ArgumentParser(
+        prog="patapsco_ray norm",
+        description="Normalize a text file. Output to stdout.")
+    ap.add_argument("-l", "--lang", required=True,
+                    help="ISO 639-3 language code")
+    ap.add_argument("file", help="Path to text file to normalize")
+    a = ap.parse_args(argv)
+    import pathlib
+
+    from .text.normalize import Normalizer
+
+    # all reference language subclasses share Generic behavior
+    # (normalize.py:264-302); the lang flag is accepted for CLI parity
+    _ = a.lang
+    text = pathlib.Path(a.file).read_text()
+    print(Normalizer(lowercase=False).pre_normalize(text))
+    return 0
+
+
 def _delete_main(argv: list[str]) -> int:
     """Tombstone documents (``index.deletes.delete_documents``)."""
     ap = argparse.ArgumentParser(
@@ -228,6 +250,8 @@ def main(argv: list[str] | None = None) -> int:
         return _compact_main(argv[1:])
     if argv and argv[0] == "delete":
         return _delete_main(argv[1:])
+    if argv and argv[0] == "norm":
+        return _norm_main(argv[1:])
     ap = argparse.ArgumentParser(
         prog="patapsco_ray",
         description="Run a config-driven index+retrieve pipeline",

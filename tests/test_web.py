@@ -142,3 +142,36 @@ def test_cli_build_and_compact(ray_session, tmp_path, capsys):
 
     hits = IndexSearcher(tmp_path / "cidx").search("hello", k=5)
     assert len(hits) == 5
+
+
+def test_cli_norm_and_delete(ray_session, tmp_path, capsys):
+    """`python -m patapsco_ray norm|delete` surface."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from patapsco_ray.__main__ import main
+
+    f = tmp_path / "t.txt"
+    f.write_text("Café  x\r\ny")
+    assert main(["norm", "-l", "eng", str(f)]) == 0
+    assert capsys.readouterr().out == "Café x\ny\n"
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    pq.write_table(pa.table({
+        "url": [f"d{i}" for i in range(20)],
+        "text": ["common text here"] * 20,
+    }), inp / "docs.parquet")
+    assert main(["build", "-i", str(inp), "-o", str(tmp_path / "idx"),
+                 "--html-column", ""]) == 0
+    capsys.readouterr()
+    assert main(["delete", "-i", str(tmp_path / "idx"), "d3", "d7"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["deleted_total"] == 2
+    from patapsco_ray.search import IndexSearcher
+
+    ids = {h["doc_id"]
+           for h in IndexSearcher(tmp_path / "idx").search("common", k=20)}
+    assert ids and not {"d3", "d7"} & ids
