@@ -636,6 +636,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["length_quantiles"] = len_quants
 
+    def top_bigrams(sf: str):
+        # corpus boilerplate profile: global top-k token bigrams via
+        # batch combiner -> one groupby.sum -> local-topk -> tiny sort
+        from patapsco_ray.functions import top_ngrams
+
+        return top_ngrams(
+            _docs(sf).select_columns(["text"]), n=2, k=50, min_count=2)
+
+    q["top_ngrams"] = top_bigrams
+
+    def tfidf_terms(sf: str):
+        # per-doc top-k TF-IDF keywords; integer tf * quantized-idf
+        # scores make ranks bit-reproducible in the SQL oracle
+        from patapsco_ray.functions import tfidf_topk_terms
+
+        return tfidf_topk_terms(
+            _docs(sf).select_columns(["doc_id", "text"]), k=5)
+
+    q["tfidf_topk_terms"] = tfidf_terms
+
+    def vstats(sf: str):
+        from patapsco_ray.functions import vocab_stats
+
+        return vocab_stats(_docs(sf).select_columns(["text"]))
+
+    q["vocab_stats"] = vstats
+
     # --- deduplication ---
     q["exact_duplicates"] = lambda sf: exact_duplicates(_docs(sf))
     q["ngram_jaccard_pairs"] = lambda sf: ngram_jaccard_pairs(
@@ -1807,6 +1834,44 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT CAST({int(round(qq * 1e6))} AS BIGINT) AS q_1e6, "
             f"quantile_disc(n_chars, {qq}) AS value FROM documents"
             for qq in (0.0, 0.05, 0.25, 0.5, 0.75, 0.95, 1.0)),
+        "top_ngrams": """
+            WITH toks AS (
+              SELECT list_filter(string_split(lower(text), ' '),
+                                 x -> x <> '') AS t
+              FROM documents),
+            g AS (SELECT t[x] || ' ' || t[x+1] AS ngram
+                  FROM toks, unnest(range(1, len(t))) AS r(x))
+            SELECT ngram, CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM g GROUP BY ngram HAVING count(*) >= 2
+            ORDER BY n_occurrences DESC, ngram ASC LIMIT 50""",
+        "tfidf_topk_terms": f"""
+            WITH toks AS ({_TOKS}),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM toks GROUP BY doc_id, term),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df
+                   FROM toks GROUP BY term),
+            n AS (SELECT count(*) AS n FROM documents),
+            q AS (SELECT term,
+                    CAST(floor(ln(n.n::DOUBLE / df.df) * 1000000 + 0.5)
+                         AS BIGINT) AS qidf
+                  FROM df, n),
+            s AS (SELECT tf.doc_id, tf.term,
+                    CAST(tf.tf * q.qidf AS BIGINT) AS tfidf_q
+                  FROM tf JOIN q USING (term))
+            SELECT doc_id, term,
+              CAST(row_number() OVER (PARTITION BY doc_id
+                   ORDER BY tfidf_q DESC, term) - 1 AS BIGINT) AS rank,
+              tfidf_q
+            FROM s QUALIFY rank < 5""",
+        "vocab_stats": f"""
+            WITH toks AS ({_TOKS}),
+            cf AS (SELECT term, count(*) AS cf FROM toks GROUP BY term)
+            SELECT CAST(count(*) AS BIGINT) AS n_terms,
+              CAST(coalesce(sum(cf), 0) AS BIGINT) AS n_tokens,
+              CAST(coalesce(sum(CASE WHEN cf = 1 THEN 1 END), 0)
+                   AS BIGINT) AS n_hapax,
+              CAST(coalesce(max(cf), 0) AS BIGINT) AS max_cf
+            FROM cf""",
         "ngram_jaccard_pairs": f"""
             WITH toks AS (
               SELECT doc_id,

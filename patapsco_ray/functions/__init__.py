@@ -41,6 +41,7 @@ from .cluster import connected_components, dedup_keep, near_dedup
 from .decontam import decontaminate, ngram_contamination
 from .spans import duplicate_spans, remove_duplicate_spans
 from .quantiles import exact_quantiles, value_histogram
+from .vocab import top_ngrams, tfidf_topk_terms, vocab_stats
 from .similarity import (cosine_topk, cosine_neardup_pairs,
                          lsh_cosine_topk, ivf_cosine_topk,
                          train_ivf_centroids)
@@ -76,6 +77,9 @@ __all__ = [
     "remove_duplicate_spans",
     "exact_quantiles",
     "value_histogram",
+    "top_ngrams",
+    "tfidf_topk_terms",
+    "vocab_stats",
     "connected_components",
     "dedup_keep",
     "near_dedup",
