@@ -775,6 +775,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["ivf_cosine_topk_fullprobe"] = ivf_topk_fullprobe
 
+    def kmeans_counts(sf: str):
+        # distributed Lloyd refinement end-to-end: deterministic init
+        # (smallest-id rows, normalized), one kmeans_refine iteration
+        # (broadcast centroids + per-batch partial sums), final assign
+        # -> integer cluster populations the SQL oracle replays exactly
+        from patapsco_ray.functions import ivf_assign_counts
+
+        return ivf_assign_counts(_emb(sf), ncentroids=8, refine_iters=1)
+
+    q["kmeans_assign_counts"] = kmeans_counts
+
     def qfilter(sf: str):
         from patapsco_ray.functions import quality_filter
 
@@ -2033,6 +2044,56 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY query_id ORDER BY score_1e6 DESC, vec_id) - 1
                 AS BIGINT) AS rank, score_1e6
             FROM s QUALIFY rank < 5""",
+        # one Lloyd iteration replayed: init = 8 smallest-id rows
+        # (normalized), assign -> spherical re-centre -> assign ->
+        # integer cluster populations
+        "kmeans_assign_counts": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              FROM embeddings),
+            init AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, emb
+              FROM e ORDER BY vec_id LIMIT 8),
+            x AS (
+              SELECT e.vec_id, r.i AS dim,
+                e.emb[r.i] / sqrt(list_inner_product(e.emb, e.emb)) AS xv
+              FROM e, unnest(range(1, len(emb) + 1)) AS r(i)),
+            d1 AS (
+              SELECT e.vec_id, i.cid,
+                list_inner_product(e.emb, i.emb)
+                  / sqrt(list_inner_product(i.emb, i.emb)) AS dot
+              FROM e CROSS JOIN init i),
+            a1 AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid, row_number() OVER (PARTITION BY
+                    vec_id ORDER BY dot DESC, cid ASC) AS rn FROM d1)
+              WHERE rn = 1),
+            s AS (
+              SELECT a1.cid, x.dim, sum(x.xv) AS sv
+              FROM x JOIN a1 USING (vec_id) GROUP BY a1.cid, x.dim),
+            cn AS (SELECT cid, sqrt(sum(sv * sv)) AS nrm
+                   FROM s GROUP BY cid),
+            c1 AS (SELECT s.cid, s.dim, s.sv / cn.nrm AS cv
+                   FROM s JOIN cn USING (cid)),
+            c1full AS (
+              SELECT * FROM c1
+              UNION ALL
+              SELECT i.cid, r.i AS dim,
+                i.emb[r.i] / sqrt(list_inner_product(i.emb, i.emb)) AS cv
+              FROM init i, unnest(range(1, len(i.emb) + 1)) AS r(i)
+              WHERE i.cid NOT IN (SELECT cid FROM c1)),
+            d2 AS (
+              SELECT x.vec_id, c.cid, sum(x.xv * c.cv) AS dot
+              FROM x JOIN c1full c USING (dim)
+              GROUP BY x.vec_id, c.cid),
+            a2 AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid, row_number() OVER (PARTITION BY
+                    vec_id ORDER BY dot DESC, cid ASC) AS rn FROM d2)
+              WHERE rn = 1)
+            SELECT cid AS centroid_id,
+              CAST(count(*) AS BIGINT) AS n_members
+            FROM a2 GROUP BY cid""",
         # analytic pixel sums of the synthesized 8x8 RGB PNGs
         "decode_images": """
             WITH g AS (SELECT gx.range AS x, gy.range AS y

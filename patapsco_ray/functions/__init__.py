@@ -44,7 +44,8 @@ from .quantiles import exact_quantiles, value_histogram
 from .vocab import top_ngrams, tfidf_topk_terms, vocab_stats
 from .similarity import (cosine_topk, cosine_neardup_pairs,
                          lsh_cosine_topk, ivf_cosine_topk,
-                         train_ivf_centroids)
+                         train_ivf_centroids, kmeans_refine,
+                         ivf_assign_counts)
 from .windows import sessionize, sliding_window_agg, topk_by_key, tumbling_window_agg
 
 __all__ = [
@@ -87,6 +88,8 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash_pairs",
     "cosine_topk",
+    "kmeans_refine",
+    "ivf_assign_counts",
     "cosine_neardup_pairs",
     "lsh_cosine_topk",
     "ivf_cosine_topk",

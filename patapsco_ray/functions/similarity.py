@@ -527,3 +527,128 @@ def ivf_cosine_topk(
     cands = ds.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True)
     return _merge_query_topk(cands, id_column, k, _id_type(ds, id_column))
+
+
+def kmeans_refine(
+    ds: ray.data.Dataset,
+    centroids: np.ndarray,
+    *,
+    iters: int = 1,
+    vector_column: str = "embedding",
+    spherical: bool = True,
+) -> np.ndarray:
+    """Distributed Lloyd refinement of a centroid matrix.
+
+    Each iteration broadcasts the current centroids once (``ray.put``)
+    and runs ONE shuffle-free ``map_batches`` pass: every batch assigns
+    its rows with a single matmul and emits per-centroid PARTIAL
+    (count, sum-vector) rows — at most ``k`` rows per batch, so the
+    driver fold is bounded by ``k x num_blocks`` regardless of corpus
+    size (the partial-agg-before-reduce posture; the corpus itself is
+    never collected). ``spherical=True`` (cosine / IVF training) sums
+    L2-normalized rows and renormalizes the folded sums; empty
+    centroids keep their previous position. Complements
+    :func:`train_ivf_centroids` (driver-sample init) with full-corpus
+    refinement passes.
+    """
+    C = np.asarray(centroids, dtype=np.float64)
+    if C.ndim != 2:
+        raise ValueError("centroids must be a (k, d) matrix")
+    if spherical:
+        C = _normalize(C)
+    k, d = C.shape
+
+    part_schema = pa.schema([
+        ("cid", pa.int64()), ("n", pa.int64()),
+        ("s", pa.list_(pa.float64(), d))])
+
+    for _ in range(iters):
+        ref = ray.put(C)
+
+        def partial(tbl: pa.Table) -> pa.Table:
+            X = _matrix(tbl, vector_column)
+            if X.shape[0] == 0:
+                return part_schema.empty_table()
+            Xn = _normalize(X) if spherical else X
+            Cc = ray.get(ref)
+            assign = np.argmax(Xn @ Cc.T, axis=1)
+            counts = np.bincount(assign, minlength=k)
+            sums = np.empty((k, d), dtype=np.float64)
+            for j in range(d):
+                sums[:, j] = np.bincount(assign, weights=Xn[:, j],
+                                         minlength=k)
+            nz = np.flatnonzero(counts)
+            return pa.table({
+                "cid": pa.array(nz.astype(np.int64)),
+                "n": pa.array(counts[nz].astype(np.int64)),
+                "s": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sums[nz].ravel()), d),
+            })
+
+        rows = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all()
+        sums = np.zeros((k, d), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        # deterministic fold order regardless of block arrival
+        for r in sorted(rows, key=lambda r: r["cid"]):
+            sums[r["cid"]] += np.asarray(r["s"], dtype=np.float64)
+            counts[r["cid"]] += r["n"]
+        nz = counts > 0
+        if spherical:
+            C = np.where(nz[:, None], sums, C)
+            C = _normalize(C)
+        else:
+            C = np.where(nz[:, None], sums / np.maximum(counts, 1)[:, None],
+                         C)
+    return C
+
+
+def ivf_assign_counts(
+    ds: ray.data.Dataset,
+    *,
+    ncentroids: int = 8,
+    refine_iters: int = 1,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+) -> pa.Table:
+    """Cluster-population table after distributed k-means refinement.
+
+    Deterministic end-to-end: initial centroids are the ``ncentroids``
+    rows with the smallest ids (normalized), refined with
+    :func:`kmeans_refine` for ``refine_iters`` Lloyd iterations, then
+    one final assignment pass counts members per centroid. Returns
+    ``(centroid_id, n_members)`` for non-empty centroids —
+    integer-valued, so the DuckDB oracle reproduces it exactly (argmax
+    assignment is float-robust; only counts are compared).
+    """
+    init = (ds.select_columns([id_column, vector_column])
+            .sort(id_column).limit(ncentroids))
+    init_tbl = pa.concat_tables(
+        [ray.get(r) for r in init.to_arrow_refs()])
+    C0 = _normalize(_matrix(init_tbl, vector_column))
+    C = kmeans_refine(ds, C0, iters=refine_iters,
+                      vector_column=vector_column, spherical=True)
+    k = C.shape[0]
+    ref = ray.put(C)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        X = _matrix(tbl, vector_column)
+        if X.shape[0] == 0:
+            return pa.table({"cid": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        assign = np.argmax(_normalize(X) @ ray.get(ref).T, axis=1)
+        counts = np.bincount(assign, minlength=k)
+        nz = np.flatnonzero(counts)
+        return pa.table({"cid": pa.array(nz.astype(np.int64)),
+                         "c": pa.array(counts[nz].astype(np.int64))})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True).take_all()
+    counts = np.zeros(k, dtype=np.int64)
+    for r in rows:
+        counts[r["cid"]] += r["c"]
+    nz = np.flatnonzero(counts)
+    return pa.table({
+        "centroid_id": pa.array(nz.astype(np.int64)),
+        "n_members": pa.array(counts[nz].astype(np.int64)),
+    })

@@ -1,0 +1,74 @@
+"""Distributed Lloyd refinement (functions/similarity.kmeans_refine,
+ivf_assign_counts)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from patapsco_ray.functions import ivf_assign_counts, kmeans_refine
+from patapsco_ray.functions.similarity import _normalize
+
+
+def _emb_ds(X, ids=None):
+    n, d = X.shape
+    return ray.data.from_arrow(pa.table({
+        "vec_id": ids if ids is not None else list(range(n)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(X.astype(np.float32).ravel()), d),
+    }))
+
+
+def _local_lloyd(X, C, iters):
+    """Single-process reference of the spherical update."""
+    Xn = _normalize(X.astype(np.float64))
+    C = _normalize(C.astype(np.float64))
+    for _ in range(iters):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for c in range(C.shape[0]):
+            m = Xn[assign == c]
+            if len(m):
+                C[c] = m.sum(axis=0)
+        C = _normalize(C)
+    return C
+
+
+def test_kmeans_refine_matches_local_reference(ray_session):
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(200, 6))
+    C0 = X[:4]
+    ds = _emb_ds(X).repartition(7)  # partial sums fold across blocks
+    got = kmeans_refine(ds, C0, iters=3)
+    # the dataset stores float32 embeddings; the reference must see the
+    # same rounded inputs
+    want = _local_lloyd(X.astype(np.float32).astype(np.float64), C0, 3)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+
+def test_kmeans_refine_deterministic_across_runs(ray_session):
+    rng = np.random.default_rng(6)
+    X = rng.normal(size=(150, 5))
+    ds = _emb_ds(X).repartition(5)
+    a = kmeans_refine(ds, X[:3], iters=2)
+    b = kmeans_refine(ds, X[:3], iters=2)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_kmeans_refine_empty_centroid_keeps_position(ray_session):
+    # two tight clusters + one centroid far from all data: it gets no
+    # members and must keep its (normalized) initial position
+    X = np.vstack([
+        np.tile([1.0, 0.0, 0.0], (10, 1)) + 1e-3,
+        np.tile([0.0, 1.0, 0.0], (10, 1)) + 1e-3,
+    ])
+    C0 = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, -1.0]])
+    got = kmeans_refine(_emb_ds(X), C0, iters=2)
+    np.testing.assert_allclose(got[2], [0.0, 0.0, -1.0], atol=1e-12)
+
+
+def test_ivf_assign_counts_partitions_everything(ray_session):
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(120, 4))
+    t = ivf_assign_counts(_emb_ds(X), ncentroids=4, refine_iters=1)
+    rows = t.to_pylist()
+    assert sum(r["n_members"] for r in rows) == 120
+    assert all(0 <= r["centroid_id"] < 4 for r in rows)
