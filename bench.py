@@ -248,6 +248,9 @@ def run_sf_ops(sf_dir: str) -> dict:
         "length_quantiles",
         "pack_sequences",
         "shuffle_by_hash",
+        "top_ngrams",
+        "tfidf_topk_terms",
+        "kmeans_assign_counts",
     ]
     repeats = int(os.environ.get("BENCH_OPS_REPEATS", "3"))
     out = {}
