@@ -93,3 +93,57 @@ def test_vocab_stats_empty_corpus(ray_session):
     t = vocab_stats(_ds(["", "  "]))
     row = t.to_pylist()[0]
     assert row == {"n_terms": 0, "n_tokens": 0, "n_hapax": 0, "max_cf": 0}
+
+
+# ---- property fuzz vs brute-force references ----
+
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_word = st.text(alphabet="ab ", min_size=0, max_size=12)
+_corpus = st.lists(_word, min_size=1, max_size=12)
+
+
+def _brute_ngrams(texts, n):
+    c = Counter()
+    for t in texts:
+        toks = [w for w in t.lower().split(" ") if w]
+        for i in range(len(toks) - n + 1):
+            c[" ".join(toks[i:i + n])] += 1
+    return c
+
+
+@given(_corpus)
+@settings(max_examples=25, deadline=None)
+def test_top_ngrams_matches_bruteforce(ray_session, texts):
+    want = _brute_ngrams(texts, 2)
+    got = {r["ngram"]: r["n_occurrences"] for r in
+           top_ngrams(_ds(texts), n=2, k=1000, min_count=1).take_all()}
+    assert got == dict(want)
+
+
+def _brute_tfidf(texts, k):
+    docs = [[w for w in t.lower().split(" ") if w] for t in texts]
+    n = len(docs)
+    df = Counter()
+    for d in docs:
+        df.update(set(d))
+    q = {t: int(math.floor(math.log(n / v) * 1_000_000 + 0.5))
+         for t, v in df.items()}
+    out = set()
+    for i, d in enumerate(docs):
+        tf = Counter(d)
+        ranked = sorted(tf.items(), key=lambda kv: (-kv[1] * q[kv[0]], kv[0]))
+        for r, (t, f) in enumerate(ranked[:k]):
+            out.add((i, t, r, f * q[t]))
+    return out
+
+
+@given(_corpus)
+@settings(max_examples=25, deadline=None)
+def test_tfidf_matches_bruteforce(ray_session, texts):
+    got = {(r["doc_id"], r["term"], r["rank"], r["tfidf_q"]) for r in
+           tfidf_topk_terms(_ds(texts), k=3).take_all()}
+    assert got == _brute_tfidf(texts, 3)
