@@ -170,6 +170,7 @@ def tfidf_topk_terms(
     text_column: str = "text",
     k: int = 5,
     scale: int = 1_000_000,
+    min_df: int = 1,
 ) -> ray.data.Dataset:
     """Per-document top-``k`` TF-IDF keywords.
 
@@ -185,13 +186,16 @@ def tfidf_topk_terms(
     once); scoring + per-document ranking run in ONE shuffle-free
     ``map_batches`` (a doc's term frequencies are complete within its
     batch), vectorized via ``np.unique`` factorization + one lexsort
-    per batch — no per-document Python.
+    per batch — no per-document Python. The broadcast dict is
+    vocabulary-bounded; ``min_df`` trims its hapax-heavy tail (terms
+    below it score 0 and never win a keyword slot worth keeping) when
+    web-scale vocabularies make the full dict too large to ship.
     """
     n_docs = ds.count()
     df = _df_counts(ds, text_column)
     qidf = {
         t: int(math.floor(math.log(n_docs / d) * scale + 0.5))
-        for t, d in df.items()
+        for t, d in df.items() if d >= min_df
     }
     qidf_ref = ray.put(qidf)
 

@@ -400,24 +400,18 @@ class SegmentScorer:
             return cand.astype(np.int64), np.empty(0, dtype=np.float64)
         return self._select_topk(cand, scores[cand], k)
 
-    def score_phrase(
-        self,
-        terms: list[str],
-        scorer,
-        global_stats: dict[str, tuple[int, int]],
-        k: int,
+    def phrase_doc_tfs(
+        self, terms: list[str], rows: dict[str, dict] | None = None
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Exact-adjacency phrase top-k over a positional segment.
-
-        A document matches when the phrase's terms occur at consecutive
-        positions of the processed token stream; its tf is the exact
-        occurrence count (|∩_j (P_j - j)| over per-term position sets).
-        Scored like Lucene's PhraseQuery: summed term idf (multiplicity
-        included) with the phrase tf in the BM25 tf-saturation.
-        """
+        """(ordinals, phrase tfs) of documents where the phrase's terms
+        occur at consecutive positions of the processed token stream;
+        the tf is the exact occurrence count (|∩_j (P_j - j)| over
+        per-term position sets). Pass ``rows`` to reuse term rows
+        already read for a larger query (the boolean-tree path)."""
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
         uniq = sorted(set(terms))
-        rows = self.term_rows(uniq)
+        if rows is None:
+            rows = self.term_rows(uniq)
         if any(t not in rows for t in uniq):
             return empty
         if rows[uniq[0]].get("positions") is None:
@@ -455,8 +449,28 @@ class SegmentScorer:
                 tf_out.append(int(cand.size))
         if not docs_out:
             return empty
-        ords = np.asarray(docs_out, dtype=np.int64)
-        tfv = np.asarray(tf_out, dtype=np.float64)
+        return (np.asarray(docs_out, dtype=np.int64),
+                np.asarray(tf_out, dtype=np.float64))
+
+    def score_phrase(
+        self,
+        terms: list[str],
+        scorer,
+        global_stats: dict[str, tuple[int, int]],
+        k: int,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Exact-adjacency phrase top-k over a positional segment.
+
+        A document matches when the phrase's terms occur at consecutive
+        positions of the processed token stream; its tf is the exact
+        occurrence count (|∩_j (P_j - j)| over per-term position sets).
+        Scored like Lucene's PhraseQuery: summed term idf (multiplicity
+        included) with the phrase tf in the BM25 tf-saturation.
+        """
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        ords, tfv = self.phrase_doc_tfs(terms)
+        if ords.size == 0:
+            return empty
         idf = float(sum(scorer.idf(global_stats[t][0]) for t in terms))
         if self.quantize_norms:
             denom = scorer.denom_for_norms(self.norms[ords])

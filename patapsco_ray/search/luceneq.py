@@ -20,10 +20,12 @@ path. This module covers the parser's practical surface:
   clauses it matches (Lucene's per-clause gating — a term inside a
   non-matching group contributes nothing even when the document
   contains it)
-- quoted phrases are NOT supported: the index is DOCS_AND_FREQS with
-  no positions (reference index.py:52 — phrase queries are impossible
-  there too); a phrase query returns empty results, matching the
-  reference's failure behavior (retrieve.py:148-151)
+- ``"quoted phrases"`` (with optional ``^boost``) are PhraseQuery
+  clauses scored by exact-adjacency phrase frequency when the index
+  carries positions (``positions=True`` + bm25); on a DOCS_AND_FREQS
+  index — the reference's only shape (index.py:52) — a phrase query
+  returns empty results, matching the reference's failure behavior
+  (retrieve.py:148-151)
 
 Each term is processed through the same text chain as documents
 (LuceneTransformer runs text processing per term node,
@@ -52,7 +54,7 @@ class QueryTerm:
 @dataclass(frozen=True)
 class QueryGroup:
     """A parenthesized BooleanQuery clause (children are QueryTerm /
-    QueryGroup; MUST/SHOULD/MUST_NOT per child flags)."""
+    QueryPhrase / QueryGroup; MUST/SHOULD/MUST_NOT per child flags)."""
 
     children: tuple
     boost: float = 1.0
@@ -60,12 +62,21 @@ class QueryGroup:
     prohibited: bool = False
 
 
-_TOKEN_RE = re.compile(r'"[^"]*"|\(|\)|[^\s()]+')
+@dataclass(frozen=True)
+class QueryPhrase:
+    """A quoted exact-adjacency phrase clause (Lucene PhraseQuery,
+    slop 0). Scoreable only on an index built with ``positions=True``;
+    on a DOCS_AND_FREQS index the whole query returns empty, matching
+    the reference's failure behavior (retrieve.py:148-151)."""
+
+    terms: tuple
+    boost: float = 1.0
+    required: bool = False
+    prohibited: bool = False
+
+
+_TOKEN_RE = re.compile(r'[+-]?"[^"]*"|\(|\)|[^\s()]+')
 _GROUP_BOOST_RE = re.compile(r"\^\d+(?:\.\d+)?$")
-
-
-class _PhraseError(Exception):
-    pass
 
 
 def _set_required(node):
@@ -83,8 +94,28 @@ def _parse_clauses(tokens: list[str], i: int, processor: TextProcessor,
     while i < len(tokens):
         tok = tokens[i]
         i += 1
-        if tok.startswith('"'):
-            raise _PhraseError
+        if tok.startswith('"') or (len(tok) > 1 and tok[0] in "+-"
+                                   and tok[1] == '"'):
+            sign = ""
+            if tok[0] in "+-":
+                sign, tok = tok[0], tok[1:]
+            required = pending is True or pending == "+" or sign == "+"
+            prohibited = pending in ("not", "-") or sign == "-"
+            pending = False
+            boost = 1.0
+            if i < len(tokens) and _GROUP_BOOST_RE.fullmatch(tokens[i]):
+                boost = float(tokens[i][1:])
+                i += 1
+            processed = processor.process(tok.strip('"'))
+            words = tuple(processed.split()) if processed else ()
+            if len(words) == 1:
+                # a one-word phrase is just a term (Lucene collapses it)
+                children.append(QueryTerm(words[0], boost,
+                                          required, prohibited))
+            elif words:
+                children.append(QueryPhrase(words, boost,
+                                            required, prohibited))
+            continue
         if tok == ")":
             if depth == 0:
                 continue  # stray close, ignore like Lucene's lenient mode
@@ -146,16 +177,13 @@ def _parse_clauses(tokens: list[str], i: int, processor: TextProcessor,
 def parse_lucene_query(text: str, processor: TextProcessor
                        ) -> "list[QueryTerm] | QueryGroup | None":
     """Parse a Lucene query. Returns a flat ``list[QueryTerm]`` when
-    the query has no grouping (the historical contract), a
-    :class:`QueryGroup` tree when parentheses appear, and None for
-    unsupported queries (phrases), which the caller maps to empty
-    results."""
+    the query has no grouping or phrases (the historical contract),
+    and a :class:`QueryGroup` tree when parentheses or quoted phrases
+    appear. Whether a phrase is scoreable is the caller's decision
+    (positional index + bm25 required; see :func:`search_lucene`)."""
     raw_tokens = _TOKEN_RE.findall(text)
-    try:
-        children, _, _ = _parse_clauses(raw_tokens, 0, processor, 0)
-    except _PhraseError:
-        return None
-    if any(isinstance(c, QueryGroup) for c in children):
+    children, _, _ = _parse_clauses(raw_tokens, 0, processor, 0)
+    if any(isinstance(c, (QueryGroup, QueryPhrase)) for c in children):
         return QueryGroup(tuple(children))
     return children
 
@@ -163,10 +191,20 @@ def parse_lucene_query(text: str, processor: TextProcessor
 def _tree_terms(node) -> set[str]:
     if isinstance(node, QueryTerm):
         return {node.term}
+    if isinstance(node, QueryPhrase):
+        return set(node.terms)
     out: set[str] = set()
     for c in node.children:
         out |= _tree_terms(c)
     return out
+
+
+def _tree_has_phrase(node) -> bool:
+    if isinstance(node, QueryPhrase):
+        return True
+    if isinstance(node, QueryTerm):
+        return False
+    return any(_tree_has_phrase(c) for c in node.children)
 
 
 def _eval_node(node, ss, rows, scorer, gstats
@@ -201,6 +239,24 @@ def _eval_node(node, ss, rows, scorer, gstats
             match[ords] = True
             if not node.prohibited:
                 score[ords] = contrib
+        return match, score
+
+    if isinstance(node, QueryPhrase):
+        # Lucene PhraseQuery: summed term idf, tf = exact phrase
+        # frequency in the BM25 saturation (engine.score_phrase shape)
+        match = np.zeros(ndocs, dtype=bool)
+        score = np.zeros(ndocs, dtype=np.float64)
+        if all(t in gstats and t in rows for t in node.terms):
+            ords, tfv = ss.phrase_doc_tfs(list(node.terms), rows=rows)
+            if ords.size:
+                idf = float(sum(scorer.idf(gstats[t][0])
+                                for t in node.terms))
+                denom = (scorer.denom_for_norms(ss.norms[ords])
+                         if ss.quantize_norms
+                         else scorer.denom_for_dl(ss.lens[ords]))
+                match[ords] = True
+                if not node.prohibited:
+                    score[ords] = node.boost * idf * tfv / (tfv + denom)
         return match, score
 
     must, should, must_not = [], [], []
@@ -262,14 +318,23 @@ def search_lucene(searcher, query_text: str, k: int | None = None
     """Boolean/boost search over an IndexSearcher. Scoring is the sum
     of boost x per-term BM25/QLD over SHOULD+MUST terms; MUST terms
     filter to docs containing all of them; MUST_NOT excludes. Grouped
-    queries evaluate the full BooleanQuery tree (see _eval_node)."""
+    queries evaluate the full BooleanQuery tree (see _eval_node).
+    Quoted phrases score as Lucene PhraseQuery clauses when the index
+    was built with ``positions=True`` and the scorer is bm25; on a
+    DOCS_AND_FREQS index the query returns empty — the reference's
+    behavior on its position-free Lucene index (retrieve.py:148-151,
+    index.py:52)."""
     from .engine import DEFAULT_K, lookup_global_stats
 
     k = k or DEFAULT_K
     parsed = parse_lucene_query(query_text, searcher.processor)
-    if not parsed:  # unsupported or empty -> empty results
+    if not parsed:  # empty -> empty results
         return []
     if isinstance(parsed, QueryGroup):
+        if _tree_has_phrase(parsed) and not (
+                searcher.manifest.get("positions")
+                and hasattr(searcher.scorer, "idf")):
+            return []
         return _search_tree(searcher, parsed, k)
     scoring = [qt for qt in parsed if not qt.prohibited]
     required = [qt.term for qt in parsed if qt.required]

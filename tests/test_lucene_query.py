@@ -37,7 +37,18 @@ def test_parse_terms():
         ("banana", 1.0, True, False),
         ("cherry", 1.0, False, True),
     ]
-    assert parse_lucene_query('"a phrase"', proc) is None
+    from patapsco_ray.search.luceneq import QueryGroup, QueryPhrase
+
+    root = parse_lucene_query('"a phrase"^3 -"bad one" apple', proc)
+    assert isinstance(root, QueryGroup)
+    ph, neg, term = root.children
+    assert isinstance(ph, QueryPhrase) and ph.terms == ("a", "phrase")
+    assert ph.boost == 3.0 and not ph.prohibited
+    assert isinstance(neg, QueryPhrase) and neg.prohibited
+    assert term.term == "apple"
+    # a one-word phrase collapses to a plain term (Lucene behavior)
+    flat = parse_lucene_query('"apple" banana', proc)
+    assert [q.term for q in flat] == ["apple", "banana"]
 
 
 def test_or_default(idx):
@@ -141,3 +152,52 @@ def test_nonmatching_group_contributes_nothing(idx):
                   for h in search_lucene(s, "apple", k=10)}
     got2 = next(h["score"] for h in hits if h["doc_id"] == "2")
     assert got2 == pytest.approx(apple_only["2"])
+
+
+# --------- phrase clauses over a positional index (beyond-parity)
+
+
+@pytest.fixture(scope="module")
+def pidx(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("lqp")
+    pq.write_table(pa.table({"doc_id": [i for i, _ in DOCS],
+                             "text": [t for _, t in DOCS]}),
+                   d / "docs.parquet")
+    build_index(str(d / "docs.parquet"), d / "pidx",
+                text_config=TextConfig(stopwords=False, stem=False),
+                id_column="doc_id", html_column=None, positions=True)
+    return str(d / "pidx")
+
+
+def test_phrase_scores_on_positional_index(pidx):
+    s = IndexSearcher(pidx)
+    hits = search_lucene(s, '"apple banana"', k=10)
+    # adjacency: docs 1 and 2 contain "apple banana"; 3/4/5 don't
+    assert {h["doc_id"] for h in hits} == {"1", "2"}
+    # a pure-phrase query scores identically to search_phrase
+    direct = s.search_phrase("apple banana", k=10)
+    assert [(h["doc_id"], round(h["score"], 9)) for h in hits] == \
+        [(h["doc_id"], round(h["score"], 9)) for h in direct]
+
+
+def test_phrase_composes_with_boolean(pidx):
+    s = IndexSearcher(pidx)
+    # phrase MUST + term MUST_NOT
+    hits = search_lucene(s, '+"apple banana" -cherry', k=10)
+    assert {h["doc_id"] for h in hits} == {"2"}
+    # non-adjacent order matches nothing
+    assert search_lucene(s, '"banana apple"', k=10) == []
+    # boost multiplies the phrase contribution
+    lo = search_lucene(s, '"apple banana"', k=10)
+    hi = search_lucene(s, '"apple banana"^2', k=10)
+    by = {h["doc_id"]: h["score"] for h in lo}
+    for h in hi:
+        assert abs(h["score"] - 2 * by[h["doc_id"]]) < 1e-9
+
+
+def test_phrase_in_group_gates_scoring(pidx):
+    s = IndexSearcher(pidx)
+    # the group matches only docs with the phrase; apple's extra
+    # contribution counts only inside matching docs
+    hits = search_lucene(s, '+("apple banana" cherry)', k=10)
+    assert {h["doc_id"] for h in hits} == {"1", "2", "3"}
