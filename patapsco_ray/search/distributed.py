@@ -49,6 +49,9 @@ class _QuerySearcher:
       with projected-statistics BM25.
     - "phrase": each query string is an exact-adjacency phrase
       (positional index required — ``build_index(positions=True)``).
+    - "lucene": each query string is Lucene syntax (boosts, +/-,
+      AND/OR, groups, quoted phrases on positional indexes) evaluated
+      through :func:`.luceneq.search_lucene`.
     """
 
     def __init__(self, index_dir: str, k: int, mode: str = "plain",
@@ -66,7 +69,7 @@ class _QuerySearcher:
             from ..stages.docstore import DocStore
 
             self.store = DocStore(doc_store_dir)
-        elif mode not in ("plain", "psq", "phrase"):
+        elif mode not in ("plain", "psq", "phrase", "lucene"):
             raise ValueError(f"unknown search mode {mode!r}")
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
@@ -85,6 +88,11 @@ class _QuerySearcher:
         elif self.mode == "phrase":
             def run(text):
                 return self.searcher.search_phrase(text, k=self.k)
+        elif self.mode == "lucene":
+            from .luceneq import search_lucene
+
+            def run(text):
+                return search_lucene(self.searcher, text, k=self.k)
         else:  # psq
             def run(text):
                 return self.searcher.search_psq(text, k=self.k)
@@ -119,8 +127,9 @@ def search_dataset(
     """Query-partitioned distributed search; input needs columns
     (query_id, query); output is the flat results table
     (query_id, doc_id, rank, score). ``mode`` selects plain batched
-    search, per-query RM3 expansion (needs ``doc_store_dir``), or PSQ
-    clause scoring — see :class:`_QuerySearcher`."""
+    search, per-query RM3 expansion (needs ``doc_store_dir``), PSQ
+    clause scoring, exact-adjacency phrases, or Lucene boolean syntax
+    — see :class:`_QuerySearcher`."""
     if isinstance(queries, pa.Table):
         queries = ray.data.from_arrow(queries)
     # a small query table often arrives as ONE block; map_batches

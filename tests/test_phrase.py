@@ -190,3 +190,23 @@ def test_encode_positions_bulk_empty():
         np.empty(0, np.int64), np.empty(0, np.int64), np.array([0, 0]))
     assert enc["data"] == b""
     assert enc["term_byte_offsets"].tolist() == [0, 0]
+
+
+def test_search_dataset_lucene_matches_local(pos_index):
+    from patapsco_ray.search import search_dataset, search_lucene
+
+    queries = pa.table({
+        "query_id": ["l1", "l2", "l3"],
+        "query": ['"quick brown" fox^2', '+fox -"quick brown"',
+                  "(quick OR fox) AND brown"],
+    })
+    dist = search_dataset(queries, pos_index, k=10, mode="lucene",
+                          concurrency=2, quantize_norms=False).to_pandas()
+    local = IndexSearcher(pos_index, quantize_norms=False)
+    for qid, qtext in zip(queries.column("query_id").to_pylist(),
+                          queries.column("query").to_pylist()):
+        want = [(h["doc_id"], h["rank"], round(h["score"], 9))
+                for h in search_lucene(local, qtext, k=10)]
+        got = dist[dist["query_id"] == qid].sort_values("rank")
+        assert [(d, r, round(s, 9)) for d, r, s in
+                zip(got["doc_id"], got["rank"], got["score"])] == want
