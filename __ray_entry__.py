@@ -85,6 +85,27 @@ RETRIEVAL_QUERIES: list[tuple[str, str]] = [
 ]
 TOP_K = 10  # north rule: BM25 top-10 rank identity
 
+# Fixed Lucene-syntax boolean queries (boosts, MUST, MUST_NOT) with
+# their parsed clause tables — kept literally in sync so the SQL
+# oracle replays the same BooleanQuery semantics
+LUCENE_QUERIES: list[tuple[str, str]] = [
+    ("b1", "join^2 hash scan"),
+    ("b2", "+window agg stream"),
+    ("b3", "data -slow table"),
+    ("b4", "customer^3 +order -part"),
+]
+# (term, boost, required, prohibited) per query
+LUCENE_CLAUSES: dict[str, list[tuple[str, float, bool, bool]]] = {
+    "b1": [("join", 2.0, False, False), ("hash", 1.0, False, False),
+           ("scan", 1.0, False, False)],
+    "b2": [("window", 1.0, True, False), ("agg", 1.0, False, False),
+           ("stream", 1.0, False, False)],
+    "b3": [("data", 1.0, False, False), ("slow", 1.0, False, True),
+           ("table", 1.0, False, False)],
+    "b4": [("customer", 3.0, False, False), ("order", 1.0, True, False),
+           ("part", 1.0, False, True)],
+}
+
 # per-language sampling rates for the stratified_sample query
 STRATA_RATES = {"en": 0.5, "de": 1.0, "fr": 0.25}
 
@@ -377,6 +398,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- index build + retrieval (the reference's core pipeline) ---
     q["bm25_topk"] = lambda sf: _search(sf, "bm25")
     q["qld_topk"] = lambda sf: _search(sf, "qld")
+
+    def lucene_topk(sf: str):
+        # Lucene boolean syntax end-to-end: parse (boosts, +, -) ->
+        # BooleanQuery evaluation -> BM25 sums; the oracle replays the
+        # clause tables (LUCENE_CLAUSES, literally in sync) in SQL
+        from patapsco_ray.search import search_lucene
+
+        searcher = IndexSearcher(_index_for(sf), quantize_norms=False)
+        rows_q, rows_d, rows_s = [], [], []
+        for qid, qtext in LUCENE_QUERIES:
+            for h in search_lucene(searcher, qtext, k=TOP_K + 16):
+                rows_q.append(qid)
+                rows_d.append(h["doc_id"])
+                rows_s.append(h["score"])
+        tbl = pa.table({
+            "query_id": pa.array(rows_q, pa.string()),
+            "doc_id": pa.array(rows_d, pa.string()),
+            "score": pa.array(rows_s, pa.float64()),
+        })
+        return _rank_rounded(tbl, TOP_K)
+
+    q["lucene_topk"] = lucene_topk
 
     def bm25_deleted(sf: str):
         # Lucene tombstone semantics: deleted docs filtered from every
@@ -1189,6 +1232,64 @@ _QLD_TERM = (
 )
 
 
+def _lucene_values() -> str:
+    rows = []
+    for qid, clauses in LUCENE_CLAUSES.items():
+        for t, b, req, proh in clauses:
+            rows.append(f"('{qid}', '{t}', {b}, "
+                        f"{str(req).lower()}, {str(proh).lower()})")
+    return ", ".join(rows)
+
+
+# BooleanQuery over BM25 (engine search_lucene flat path): score =
+# sum of boost x per-term BM25 over non-prohibited matched clauses;
+# docs must match ALL required terms (or >= 1 optional term when no
+# required clause exists) and none of the prohibited ones.
+_LUCENE_SQL = f"""
+WITH c(query_id, term, boost, req, proh) AS (VALUES {{values}}),
+toks AS ({_TOKS}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+       FROM toks GROUP BY doc_id, term),
+dl AS (SELECT d.doc_id, count(t.term)::DOUBLE AS dl
+       FROM documents d LEFT JOIN toks t USING (doc_id)
+       GROUP BY d.doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n,
+                 (SELECT sum(dl) FROM dl) / count(*)::DOUBLE AS avgdl
+          FROM documents),
+df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+       FROM toks GROUP BY term),
+hits AS (
+  SELECT c.query_id, tf.doc_id, c.term, c.boost, c.req, c.proh,
+         {_BM25_TERM} AS w
+  FROM c JOIN tf ON tf.term = c.term
+         JOIN df ON df.term = c.term
+         JOIN dl ON dl.doc_id = tf.doc_id
+         CROSS JOIN stats s),
+mc AS (SELECT query_id, count(*) AS n_must FROM c WHERE req
+       GROUP BY query_id),
+agg AS (
+  SELECT h.query_id, h.doc_id,
+    sum(CASE WHEN NOT h.proh THEN h.boost * h.w ELSE 0 END) AS score,
+    count(DISTINCT CASE WHEN h.req THEN h.term END) AS must_hit,
+    count(CASE WHEN h.proh THEN 1 END) AS proh_hit,
+    count(CASE WHEN NOT h.req AND NOT h.proh THEN 1 END) AS should_hit
+  FROM hits h GROUP BY h.query_id, h.doc_id),
+keep AS (
+  SELECT a.query_id, a.doc_id,
+    CAST(FLOOR(a.score * 1000000 + 0.5) AS BIGINT) AS score_1e6
+  FROM agg a LEFT JOIN mc USING (query_id)
+  WHERE a.proh_hit = 0
+    AND ((coalesce(mc.n_must, 0) > 0
+          AND a.must_hit = coalesce(mc.n_must, 0))
+         OR (coalesce(mc.n_must, 0) = 0 AND a.should_hit > 0)))
+SELECT query_id, doc_id,
+  CAST(row_number() OVER (PARTITION BY query_id
+       ORDER BY score_1e6 DESC, doc_id) - 1 AS BIGINT) AS rank,
+  score_1e6
+FROM keep QUALIFY rank < {TOP_K} ORDER BY query_id, rank
+"""
+
+
 def _phrase_values() -> str:
     return ", ".join(f"('{qid}', '{ph}')" for qid, ph in PHRASE_QUERIES)
 
@@ -1617,6 +1718,7 @@ def oracle_sql() -> dict[str, str]:
             values=_queries_values(), term_score=_BM25_TERM,
             cand_filter="",
         ),
+        "lucene_topk": _LUCENE_SQL.format(values=_lucene_values()),
         "qld_topk": _RETRIEVAL_BASE.format(
             values=_queries_values(), term_score=_QLD_TERM,
             cand_filter="",
