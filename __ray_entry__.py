@@ -113,6 +113,31 @@ STRATA_RATES = {"en": 0.5, "de": 1.0, "fr": 0.25}
 # doc_id % MOD == REM is deleted (deterministic at any sf)
 _DELETE_MOD, _DELETE_REM = 7, 3
 
+# Mixed Lucene queries: quoted phrase clauses composing with terms,
+# boosts and MUST/MUST_NOT over the POSITIONAL index — exercises the
+# phrase-in-BooleanQuery path end-to-end. Clause tables kept literally
+# in sync with the query strings for the SQL oracle.
+LUCENE_PHRASE_QUERIES: list[tuple[str, str]] = [
+    ("m1", '"key agg" table'),
+    ("m2", '+"value table" -slow'),
+    ("m3", '"join batch"^2 scan'),
+    ("m4", 'data -"table table"'),
+]
+# (term, boost, required, prohibited)
+LP_TERM_CLAUSES: dict[str, list[tuple[str, float, bool, bool]]] = {
+    "m1": [("table", 1.0, False, False)],
+    "m2": [("slow", 1.0, False, True)],
+    "m3": [("scan", 1.0, False, False)],
+    "m4": [("data", 1.0, False, False)],
+}
+# (phrase, boost, required, prohibited)
+LP_PHRASE_CLAUSES: dict[str, list[tuple[str, float, bool, bool]]] = {
+    "m1": [("key agg", 1.0, False, False)],
+    "m2": [("value table", 1.0, True, False)],
+    "m3": [("join batch", 2.0, False, False)],
+    "m4": [("table table", 1.0, False, True)],
+}
+
 # Fixed exact-adjacency phrase queries (positional-index path;
 # bigrams chosen to occur at every sf, incl. within-doc repetition)
 PHRASE_QUERIES: list[tuple[str, str]] = [
@@ -420,6 +445,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _rank_rounded(tbl, TOP_K)
 
     q["lucene_topk"] = lucene_topk
+
+    def lucene_phrase_topk(sf: str):
+        # phrase clauses inside BooleanQuery over the positional index
+        from patapsco_ray.search import search_lucene
+
+        searcher = IndexSearcher(_index_pos_for(sf), quantize_norms=False)
+        rows = [(qid, h["doc_id"], h["score"])
+                for qid, qtext in LUCENE_PHRASE_QUERIES
+                for h in search_lucene(searcher, qtext, k=TOP_K + 16)]
+        tbl = pa.table({
+            "query_id": pa.array([r[0] for r in rows], pa.string()),
+            "doc_id": pa.array([r[1] for r in rows], pa.string()),
+            "score": pa.array([r[2] for r in rows], pa.float64()),
+        })
+        return _rank_rounded(tbl, TOP_K)
+
+    q["lucene_phrase_topk"] = lucene_phrase_topk
 
     def bm25_deleted(sf: str):
         # Lucene tombstone semantics: deleted docs filtered from every
@@ -1290,6 +1332,87 @@ FROM keep QUALIFY rank < {TOP_K} ORDER BY query_id, rank
 """
 
 
+def _lp_values(clauses: dict) -> str:
+    return ", ".join(
+        f"('{qid}', '{key}', {b}, {str(req).lower()}, {str(proh).lower()})"
+        for qid, rows in clauses.items()
+        for key, b, req, proh in rows)
+
+
+# BooleanQuery with phrase clauses over the positional index: phrase
+# clauses score as Lucene PhraseQuery (summed constituent-term idf,
+# tf = exact adjacent-bigram count) and gate exactly like term clauses
+# (MUST/SHOULD/MUST_NOT, boost multiplies the contribution).
+_LUCENE_PHRASE_SQL = f"""
+WITH tc(query_id, term, boost, req, proh) AS (VALUES {{tvalues}}),
+pc(query_id, phrase, boost, req, proh) AS (VALUES {{pvalues}}),
+toksl AS (SELECT doc_id,
+    list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents),
+toks AS (SELECT doc_id, unnest(t) AS term FROM toksl),
+dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM toksl),
+stats AS (SELECT count(*)::DOUBLE AS n,
+                 (SELECT sum(dl) FROM dl) / count(*)::DOUBLE AS avgdl
+          FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+       FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+       FROM toks GROUP BY term),
+big AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+        FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+              FROM toksl WHERE len(t) >= 2)),
+ptf AS (SELECT pc.query_id, pc.phrase, b.doc_id, count(*)::DOUBLE AS tf
+        FROM pc JOIN big b ON b.g = pc.phrase GROUP BY 1, 2, 3),
+pidf AS (SELECT p.query_id, p.phrase,
+           sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))) AS idf
+         FROM (SELECT query_id, phrase,
+                 unnest(string_split(phrase, ' ')) AS term FROM pc) p
+         JOIN df USING (term) CROSS JOIN stats s GROUP BY 1, 2),
+term_hits AS (
+  SELECT tc.query_id, tf.doc_id, tc.term AS ck, tc.boost, tc.req,
+         tc.proh, {_BM25_TERM} AS w
+  FROM tc JOIN tf ON tf.term = tc.term
+       JOIN df ON df.term = tc.term
+       JOIN dl ON dl.doc_id = tf.doc_id
+       CROSS JOIN stats s),
+phrase_hits AS (
+  SELECT p.query_id, p.doc_id, p.phrase AS ck, pc.boost, pc.req,
+         pc.proh,
+         i.idf * p.tf
+           / (p.tf + 0.9 * (1 - 0.4 + 0.4 * dl.dl / s.avgdl)) AS w
+  FROM ptf p
+       JOIN pc ON pc.query_id = p.query_id AND pc.phrase = p.phrase
+       JOIN pidf i ON i.query_id = p.query_id AND i.phrase = p.phrase
+       JOIN dl ON dl.doc_id = p.doc_id
+       CROSS JOIN stats s),
+hits AS (SELECT * FROM term_hits UNION ALL SELECT * FROM phrase_hits),
+mc AS (SELECT query_id, count(*) AS n_must FROM
+       (SELECT query_id, req FROM tc
+        UNION ALL SELECT query_id, req FROM pc)
+       WHERE req GROUP BY query_id),
+agg AS (
+  SELECT h.query_id, h.doc_id,
+    sum(CASE WHEN NOT h.proh THEN h.boost * h.w ELSE 0 END) AS score,
+    count(DISTINCT CASE WHEN h.req THEN h.ck END) AS must_hit,
+    count(CASE WHEN h.proh THEN 1 END) AS proh_hit,
+    count(CASE WHEN NOT h.req AND NOT h.proh THEN 1 END) AS should_hit
+  FROM hits h GROUP BY h.query_id, h.doc_id),
+keep AS (
+  SELECT a.query_id, a.doc_id,
+    CAST(FLOOR(a.score * 1000000 + 0.5) AS BIGINT) AS score_1e6
+  FROM agg a LEFT JOIN mc USING (query_id)
+  WHERE a.proh_hit = 0
+    AND ((coalesce(mc.n_must, 0) > 0
+          AND a.must_hit = coalesce(mc.n_must, 0))
+         OR (coalesce(mc.n_must, 0) = 0 AND a.should_hit > 0)))
+SELECT query_id, doc_id,
+  CAST(row_number() OVER (PARTITION BY query_id
+       ORDER BY score_1e6 DESC, doc_id) - 1 AS BIGINT) AS rank,
+  score_1e6
+FROM keep QUALIFY rank < {TOP_K} ORDER BY query_id, rank
+"""
+
+
 def _phrase_values() -> str:
     return ", ".join(f"('{qid}', '{ph}')" for qid, ph in PHRASE_QUERIES)
 
@@ -1719,6 +1842,9 @@ def oracle_sql() -> dict[str, str]:
             cand_filter="",
         ),
         "lucene_topk": _LUCENE_SQL.format(values=_lucene_values()),
+        "lucene_phrase_topk": _LUCENE_PHRASE_SQL.format(
+            tvalues=_lp_values(LP_TERM_CLAUSES),
+            pvalues=_lp_values(LP_PHRASE_CLAUSES)),
         "qld_topk": _RETRIEVAL_BASE.format(
             values=_queries_values(), term_score=_QLD_TERM,
             cand_filter="",
