@@ -147,3 +147,13 @@ def test_tfidf_matches_bruteforce(ray_session, texts):
     got = {(r["doc_id"], r["term"], r["rank"], r["tfidf_q"]) for r in
            tfidf_topk_terms(_ds(texts), k=3).take_all()}
     assert got == _brute_tfidf(texts, 3)
+
+
+def test_tfidf_min_df_trims_model_but_keeps_semantics(ray_session):
+    # min_df=2 drops df-1 terms from the broadcast model: they score 0
+    # and lose to any df>=2 term, but still fill empty slots by term
+    ds = _ds(["rare1 shared", "shared common", "common other"])
+    out = tfidf_topk_terms(ds, k=1, min_df=2).take_all()
+    by_doc = {r["doc_id"]: r for r in out}
+    # doc 0: "rare1" (df=1, trimmed -> 0) loses to "shared" (df=2)
+    assert by_doc[0]["term"] == "shared" and by_doc[0]["tfidf_q"] > 0
