@@ -621,11 +621,28 @@ def ivf_assign_counts(
     integer-valued, so the DuckDB oracle reproduces it exactly (argmax
     assignment is float-robust; only counts are compared).
     """
-    init = (ds.select_columns([id_column, vector_column])
-            .sort(id_column).limit(ncentroids))
-    init_tbl = pa.concat_tables(
-        [ray.get(r) for r in init.to_arrow_refs()])
-    C0 = _normalize(_matrix(init_tbl, vector_column))
+    # smallest-id rows WITHOUT a global sort: each block keeps its
+    # local min-k (<= ncentroids rows per block reach the driver),
+    # then one tiny driver-side merge — same result as
+    # sort(id).limit(k) at none of the all-to-all cost
+    import pyarrow.compute as pc
+
+    def local_mink(tbl: pa.Table) -> pa.Table:
+        t = tbl.select([id_column, vector_column])
+        if t.num_rows <= ncentroids:
+            return t
+        order = pc.sort_indices(t.column(id_column))
+        return t.take(order.slice(0, ncentroids))
+
+    cand = (ds.map_batches(local_mink, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all())
+    cand.sort(key=lambda r: r[id_column])
+    init_rows = cand[:ncentroids]
+    if not init_rows:
+        raise ValueError("cannot train centroids on an empty dataset")
+    C0 = _normalize(np.asarray(
+        [np.asarray(r[vector_column], dtype=np.float64)
+         for r in init_rows]))
     C = kmeans_refine(ds, C0, iters=refine_iters,
                       vector_column=vector_column, spherical=True)
     k = C.shape[0]
