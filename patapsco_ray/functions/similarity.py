@@ -571,7 +571,17 @@ def kmeans_refine(
                 return part_schema.empty_table()
             Xn = _normalize(X) if spherical else X
             Cc = ray.get(ref)
-            assign = np.argmax(Xn @ Cc.T, axis=1)
+            if spherical:
+                # rows and centroids are unit-norm: max dot product ==
+                # min angle == nearest centroid
+                assign = np.argmax(Xn @ Cc.T, axis=1)
+            else:
+                # nearest EUCLIDEAN centroid: argmin ||x-c||^2 ==
+                # argmax (x.c - 0.5*||c||^2); plain argmax(x.c) would
+                # bias assignment toward large-norm centroids and
+                # minimize no objective (not Lloyd's algorithm)
+                assign = np.argmax(
+                    Xn @ Cc.T - 0.5 * (Cc * Cc).sum(axis=1), axis=1)
             counts = np.bincount(assign, minlength=k)
             sums = np.empty((k, d), dtype=np.float64)
             for j in range(d):

@@ -304,11 +304,10 @@ def _search_tree(searcher, root: QueryGroup, k: int) -> list[dict]:
         cand = np.flatnonzero(match)
         if cand.size == 0:
             return cand.astype(np.int64), np.empty(0, dtype=np.float64)
-        cscores = score[cand]
-        if cand.size > k:
-            order = np.lexsort((cand, -cscores))[:k]
-            cand, cscores = cand[order], cscores[order]
-        return cand.astype(np.int64), cscores
+        # route through _select_topk — the choke point that drops
+        # tombstoned docs — so grouped/phrase Lucene queries honor
+        # deletes like every other scoring path
+        return ss._select_topk(cand, score[cand], k)
 
     return searcher._merge_segments(seg_fn, k)
 
@@ -334,6 +333,14 @@ def search_lucene(searcher, query_text: str, k: int | None = None
         if _tree_has_phrase(parsed) and not (
                 searcher.manifest.get("positions")
                 and hasattr(searcher.scorer, "idf")):
+            if searcher.manifest.get("positions"):
+                # the index CAN answer phrases — a silent [] here would
+                # mask a scorer misconfiguration; only the reference-
+                # parity DOCS_AND_FREQS case returns empty
+                raise ValueError(
+                    "phrase clauses require a bm25 scorer; this index "
+                    "was built with positions=True but the scorer is "
+                    f"{type(searcher.scorer).__name__}")
             return []
         return _search_tree(searcher, parsed, k)
     scoring = [qt for qt in parsed if not qt.prohibited]

@@ -65,6 +65,42 @@ def test_kmeans_refine_empty_centroid_keeps_position(ray_session):
     np.testing.assert_allclose(got[2], [0.0, 0.0, -1.0], atol=1e-12)
 
 
+def _local_lloyd_euclid(X, C, iters):
+    """Single-process reference of the EUCLIDEAN (non-spherical) update."""
+    X = X.astype(np.float64)
+    C = C.astype(np.float64).copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        for c in range(C.shape[0]):
+            m = X[assign == c]
+            if len(m):
+                C[c] = m.mean(axis=0)
+    return C
+
+
+def test_kmeans_refine_euclidean_matches_local_reference(ray_session):
+    # unnormalized data with very different norms per cluster — the
+    # dot-product assignment bug would collapse everything onto the
+    # large-norm centroid; nearest-Euclidean must match plain Lloyd
+    rng = np.random.default_rng(11)
+    X = np.vstack([
+        rng.normal(loc=[10.0, 0.0, 0.0], scale=0.1, size=(40, 3)),
+        rng.normal(loc=[0.2, 0.1, 0.0], scale=0.05, size=(40, 3)),
+        rng.normal(loc=[0.0, -3.0, 1.0], scale=0.1, size=(40, 3)),
+    ])
+    C0 = X[[0, 40, 80]]
+    ds = _emb_ds(X).repartition(6)
+    got = kmeans_refine(ds, C0, iters=3, spherical=False)
+    want = _local_lloyd_euclid(X.astype(np.float32), C0.astype(np.float32),
+                               3)
+    np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-9)
+    # each centroid must sit near its own cluster mean, not collapse
+    assert np.linalg.norm(got[0] - [10, 0, 0]) < 0.5
+    assert np.linalg.norm(got[1] - [0.2, 0.1, 0]) < 0.5
+    assert np.linalg.norm(got[2] - [0, -3, 1]) < 0.5
+
+
 def test_ivf_assign_counts_partitions_everything(ray_session):
     rng = np.random.default_rng(7)
     X = rng.normal(size=(120, 4))

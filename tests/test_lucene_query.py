@@ -201,3 +201,35 @@ def test_phrase_in_group_gates_scoring(pidx):
     # contribution counts only inside matching docs
     hits = search_lucene(s, '+("apple banana" cherry)', k=10)
     assert {h["doc_id"] for h in hits} == {"1", "2", "3"}
+
+
+def test_phrase_under_qld_raises_on_positional_index(pidx, idx):
+    # the positional index CAN answer phrases — a non-bm25 scorer is a
+    # misconfiguration and must be loud, not a silent []
+    s = IndexSearcher(pidx, scorer="qld")
+    with pytest.raises(ValueError, match="bm25"):
+        search_lucene(s, '"apple banana"', k=10)
+    # ...while the reference-parity DOCS_AND_FREQS case stays empty
+    assert search_lucene(IndexSearcher(idx, scorer="qld"),
+                         '"apple banana"', k=10) == []
+
+
+def test_grouped_query_honors_deletes(ray_session, tmp_path):
+    from patapsco_ray.index import delete_documents
+
+    pq.write_table(pa.table({"doc_id": [i for i, _ in DOCS],
+                             "text": [t for _, t in DOCS]}),
+                   tmp_path / "docs.parquet")
+    build_index(str(tmp_path / "docs.parquet"), tmp_path / "idx",
+                text_config=TextConfig(stopwords=False, stem=False),
+                id_column="doc_id", html_column=None, positions=True)
+    ipath = str(tmp_path / "idx")
+    s = IndexSearcher(ipath)
+    for q in ["(apple OR cherry) AND banana", '"apple banana"']:
+        assert "1" in {h["doc_id"] for h in search_lucene(s, q, k=10)}
+    delete_documents(ipath, ["1"])
+    s2 = IndexSearcher(ipath)
+    for q in ["(apple OR cherry) AND banana", '"apple banana"']:
+        got = {h["doc_id"] for h in search_lucene(s2, q, k=10)}
+        assert "1" not in got, f"tombstoned doc surfaced for {q!r}"
+        assert "2" in got
