@@ -13,6 +13,8 @@ tokens — i.e. ``list_filter(string_split(lower(text), ' '), x <> '')``.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -21,6 +23,8 @@ import ray.data
 
 from ..text.stopwords import load_stopwords
 from .hashing import hash_strings
+
+_LOG = logging.getLogger(__name__)
 
 # BPE-ish word/number/symbol token pattern (RE2 — identical semantics in
 # pyarrow and DuckDB regexp_extract_all)
@@ -472,14 +476,13 @@ def quality_filter(
                                zero_copy_batch=True)
 
 
-def unigram_corpus_stats(
-    ds: ray.data.Dataset, *, text_column: str = "text"
-) -> tuple[dict, int]:
-    """Corpus unigram counts: per-batch ``np.unique`` partials (only
+def _cf_dataset(ds: ray.data.Dataset, text_column: str
+                ) -> ray.data.Dataset:
+    """Corpus unigram collection frequencies as a DISTRIBUTED
+    ``(term, cf)`` dataset: per-batch ``np.unique`` partials (only
     (term, cf) rows cross the shuffle — the same partial-agg-before-
-    groupby shape as the index global stats), folded by a term groupby,
-    collected to the driver (vocabulary-bounded, like the index's
-    global term stats). Returns ({term: cf}, total_tokens)."""
+    groupby shape as the index global stats), folded by a term
+    groupby. The vocabulary never lands on the driver."""
 
     def partial(tbl: pa.Table) -> pa.Table:
         flat, _, nonempty = _tokens(tbl.column(text_column))
@@ -491,12 +494,28 @@ def unigram_corpus_stats(
             "cf": pa.array(counts, pa.int64()),
         })
 
-    rows = (
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(["term", "cf"])
+
+    return (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("term").sum("cf")
-        .take_all()
+        .map_batches(rename, batch_format="pyarrow")
     )
-    cf = {r["term"]: int(r["sum(cf)"]) for r in rows}
+
+
+def unigram_corpus_stats(
+    ds: ray.data.Dataset, *, text_column: str = "text"
+) -> tuple[dict, int]:
+    """Driver-side ``({term: cf}, total_tokens)`` model — the
+    broadcast-dict form of :func:`_cf_dataset`, for bounded
+    vocabularies (callers who pass ``stats=`` to
+    :func:`unigram_logprob` or want the dict directly). At web scale
+    use :func:`unigram_logprob` WITHOUT ``stats`` — it checks the
+    vocabulary size distributed and only collects below its
+    ``broadcast_max_terms`` cap."""
+    cf = {r["term"]: int(r["cf"])
+          for r in _cf_dataset(ds, text_column).take_all()}
     return cf, sum(cf.values())
 
 
@@ -507,6 +526,9 @@ def unigram_logprob(
     text_column: str = "text",
     scale: int = 1_000_000,
     stats: tuple[dict, int] | None = None,
+    broadcast_max_terms: int = 2_000_000,
+    join_partitions: int | None = None,
+    agg_partitions: int = 256,
 ) -> ray.data.Dataset:
     """Unigram-LM document scoring (the CCNet/KenLM-style quality
     signal, self-trained): per document, the sum of per-token log
@@ -518,10 +540,20 @@ def unigram_logprob(
     scores are INTEGER sums of those quanta — order-independent, so the
     Ray sum and the SQL sum agree bit-for-bit.
 
-    Scale posture: the model is a broadcast dict (``ray.put`` once,
-    read per actor), the scoring pass is one shuffle-free
-    ``map_batches`` with per-batch ``np.unique`` factorization so dict
-    lookups touch each DISTINCT batch term once, never each token.
+    Scale posture — adaptive, never vocabulary-bounded on the driver:
+    the self-trained model is computed as a DISTRIBUTED ``(term, cf)``
+    dataset and its size checked with ``count()`` before collecting.
+    At or below ``broadcast_max_terms`` distinct terms it collapses to
+    a broadcast dict (``ray.put`` once, read per actor) and the
+    scoring pass is one shuffle-free ``map_batches`` with per-batch
+    ``np.unique`` factorization so dict lookups touch each DISTINCT
+    batch term once, never each token. Above the cap (O(10^9)-term web
+    vocabularies) the model stays sharded: (doc, term, count) rows
+    left-outer-join it on ``term``, then a coarse hash(doc)-
+    partitioned vectorized fold sums each document's quanta (Python
+    per PARTITION, never per doc) — identical rows either way
+    (``tests/test_sampling_lm.py`` asserts it). Passing ``stats=``
+    forces the broadcast path with the given model.
     Returns (id, n_tokens, sum_logprob_q).
     """
     import math
@@ -529,7 +561,21 @@ def unigram_logprob(
     import ray as _ray
 
     if stats is None:
-        stats = unigram_corpus_stats(ds, text_column=text_column)
+        cft = _cf_dataset(ds, text_column).materialize()
+        n_terms = cft.count()
+        if n_terms > broadcast_max_terms:
+            _LOG.info(
+                "unigram_logprob: %d distinct terms > "
+                "broadcast_max_terms=%d — using the distributed join "
+                "path", n_terms, broadcast_max_terms)
+            total = int(cft.sum("cf"))
+            return _unigram_join_path(
+                ds, cft, total, id_column=id_column,
+                text_column=text_column, scale=scale,
+                join_partitions=join_partitions,
+                agg_partitions=agg_partitions)
+        cf = {r["term"]: int(r["cf"]) for r in cft.take_all()}
+        stats = (cf, sum(cf.values()))
     cf, total = stats
     qlp = {
         t: int(math.floor(math.log(c / total) * scale + 0.5))
@@ -557,3 +603,127 @@ def unigram_logprob(
         })
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _unigram_join_path(
+    ds: ray.data.Dataset,
+    cft: ray.data.Dataset,
+    total: int,
+    *,
+    id_column: str,
+    text_column: str,
+    scale: int,
+    join_partitions: int | None,
+    agg_partitions: int,
+) -> ray.data.Dataset:
+    """Web-scale unigram-LM scoring with the model kept SHARDED:
+    (doc, term, count) rows left-outer-join the (term, qlp) model on
+    ``term``, then a coarse hash(doc)-partitioned vectorized fold sums
+    each document's quanta. Zero-token docs ride through as a
+    ``(doc, "", 0)`` sentinel (the empty string is never a token) so
+    every input row appears in the output, like the broadcast path.
+    No stage's memory grows with the corpus vocabulary."""
+    import math
+
+    from ..util import auto_join_partitions
+    from .dedup import _hash_part
+    from .spans import _codes
+    from .windows import _field_type, _pin
+
+    if join_partitions is None:
+        join_partitions = auto_join_partitions()
+    idt = _field_type(ds, id_column)
+    model_schema = pa.schema([("term", pa.string()), ("qlp", pa.int64())])
+
+    def to_model(tbl: pa.Table) -> pa.Table:
+        cfv = tbl.column("cf").to_numpy()
+        # scalar libm log per DISTINCT term — vocabulary-bounded stage,
+        # once per term across the cluster; keeps the quantization
+        # contract (driver math.log == SQL ln) exact on this path
+        q = np.fromiter(
+            (math.floor(math.log(c / total) * scale + 0.5) for c in cfv),
+            dtype=np.int64, count=len(cfv))
+        return pa.table({"term": tbl.column("term"), "qlp": pa.array(q)})
+
+    model = cft.map_batches(to_model, batch_format="pyarrow").map_batches(
+        _pin(model_schema), batch_format="pyarrow")
+
+    dt_schema = pa.schema([(id_column, idt), ("term", pa.string()),
+                           ("c", pa.int64())])
+
+    def emit(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        flat, parent, nonempty = _tokens(tbl.column(text_column))
+        toks = np.asarray(flat.to_numpy(zero_copy_only=False), dtype=object)
+        toks = toks[nonempty].astype(str)
+        parent = parent[nonempty]
+        if toks.size:
+            uniq, inv = np.unique(toks, return_inverse=True)
+            keys = parent * np.int64(len(uniq)) + inv
+            ukeys, c = np.unique(keys, return_counts=True)
+            docs = (ukeys // len(uniq)).astype(np.int64)
+            tidx = (ukeys % len(uniq)).astype(np.int64)
+            terms = uniq[tidx].tolist()
+            counts = c.astype(np.int64)
+        else:
+            docs = np.empty(0, dtype=np.int64)
+            terms, counts = [], np.empty(0, dtype=np.int64)
+        # sentinel rows keep zero-token docs in the output
+        present = np.zeros(n, dtype=bool)
+        present[docs] = True
+        missing = np.flatnonzero(~present)
+        all_docs = np.concatenate([docs, missing])
+        return pa.table({
+            id_column: tbl.column(id_column).take(pa.array(all_docs)),
+            "term": pa.array(terms + [""] * len(missing), pa.string()),
+            "c": pa.array(np.concatenate(
+                [counts, np.zeros(len(missing), dtype=np.int64)])),
+        })
+
+    dt = ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True
+                        ).map_batches(_pin(dt_schema),
+                                      batch_format="pyarrow")
+    joined = dt.join(model, join_type="left_outer",
+                     num_partitions=join_partitions, on=("term",))
+
+    def score_part(tbl: pa.Table) -> pa.Table:
+        q = pc.fill_null(pc.cast(tbl.column("qlp"), pa.int64()),
+                         pa.scalar(0, pa.int64()))
+        contr = pc.multiply_checked(tbl.column("c"), q)
+        return pa.table({
+            id_column: tbl.column(id_column),
+            "c": tbl.column("c"),
+            "contr": contr,
+            "part": _hash_part(tbl.column(id_column), agg_partitions,
+                               seed=13),
+        })
+
+    out_schema = pa.schema([(id_column, idt), ("n_tokens", pa.int64()),
+                            ("sum_logprob_q", pa.int64())])
+
+    def fold_part(grp: pa.Table) -> pa.Table:
+        if grp.num_rows == 0:
+            return out_schema.empty_table()
+        ids = grp.column(id_column).combine_chunks()
+        codes = _codes(ids)
+        c = grp.column("c").to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False)
+        contr = grp.column("contr").to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False)
+        ncodes = int(codes.max()) + 1
+        # int64 accumulation (np.bincount weights would round through
+        # float64 past 2^53)
+        sums = np.zeros(ncodes, dtype=np.int64)
+        np.add.at(sums, codes, contr)
+        ntok = np.zeros(ncodes, dtype=np.int64)
+        np.add.at(ntok, codes, c)
+        ucodes, first = np.unique(codes, return_index=True)
+        return pa.table({
+            id_column: ids.take(pa.array(first)),
+            "n_tokens": pa.array(ntok[ucodes]),
+            "sum_logprob_q": pa.array(sums[ucodes]),
+        }).cast(out_schema)
+
+    return (joined.map_batches(score_part, batch_format="pyarrow")
+            .groupby("part").map_groups(fold_part, batch_format="pyarrow")
+            .map_batches(_pin(out_schema), batch_format="pyarrow"))

@@ -34,6 +34,7 @@ Shape for 100 TB:
 
 from __future__ import annotations
 
+import logging
 import math
 
 import numpy as np
@@ -46,6 +47,8 @@ import ray.data
 from .textstats import _tokens
 
 __all__ = ["top_ngrams", "tfidf_topk_terms", "vocab_stats"]
+
+_LOG = logging.getLogger(__name__)
 
 
 def _ngram_strings(tbl: pa.Table, text_column: str, n: int) -> pa.Array:
@@ -133,11 +136,14 @@ def top_ngrams(
     )
 
 
-def _df_counts(ds: ray.data.Dataset, text_column: str) -> dict:
-    """Corpus document frequencies: per-batch distinct-(doc, term)
-    combiner (only (term, partial_df) rows cross the shuffle), one
-    term groupby, collected driver-side (vocabulary-bounded — the same
-    posture as the index's global term stats)."""
+def _df_dataset(ds: ray.data.Dataset, text_column: str
+                ) -> ray.data.Dataset:
+    """Corpus document frequencies as a DISTRIBUTED ``(term, df)``
+    dataset: per-batch distinct-(doc, term) combiner (only
+    (term, partial_df) rows cross the shuffle), one term groupby.
+    Nothing reaches the driver — the vocabulary stays sharded across
+    the cluster object store, the same posture as the index's sharded
+    ``global_terms`` table (index/build_shuffle.py)."""
 
     def partial(tbl: pa.Table) -> pa.Table:
         flat, parent, nonempty = _tokens(tbl.column(text_column))
@@ -155,12 +161,14 @@ def _df_counts(ds: ray.data.Dataset, text_column: str) -> dict:
         return pa.table({"term": pa.array(uniq.tolist(), pa.string()),
                          "df": pa.array(df)})
 
-    rows = (
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(["term", "df"])
+
+    return (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("term").sum("df")
-        .take_all()
+        .map_batches(rename, batch_format="pyarrow")
     )
-    return {r["term"]: int(r["sum(df)"]) for r in rows}
 
 
 def tfidf_topk_terms(
@@ -171,6 +179,9 @@ def tfidf_topk_terms(
     k: int = 5,
     scale: int = 1_000_000,
     min_df: int = 1,
+    broadcast_max_terms: int = 2_000_000,
+    join_partitions: int | None = None,
+    rank_partitions: int = 256,
 ) -> ray.data.Dataset:
     """Per-document top-``k`` TF-IDF keywords.
 
@@ -182,24 +193,43 @@ def tfidf_topk_terms(
     driver-side and scores are integer products, ranking is exactly
     reproducible by the SQL oracle (no float-comparison hazards).
 
-    Scale posture: the IDF model is a broadcast dict (``ray.put``
-    once); scoring + per-document ranking run in ONE shuffle-free
-    ``map_batches`` (a doc's term frequencies are complete within its
-    batch), vectorized via ``np.unique`` factorization + one lexsort
-    per batch — no per-document Python. The broadcast dict is
-    vocabulary-bounded; ``min_df`` trims its hapax-heavy tail (terms
-    below it score 0 and never win a keyword slot worth keeping) when
-    web-scale vocabularies make the full dict too large to ship.
+    Scale posture — adaptive, never vocabulary-bounded on the driver:
+    the ``(term, df)`` model is computed as a DISTRIBUTED dataset
+    (:func:`_df_dataset`) and its size checked with a ``count()``
+    before anything is collected. At or below ``broadcast_max_terms``
+    distinct terms (the common case; covers any bounded corpus), the
+    model collapses to a broadcast dict (``ray.put`` once) and
+    scoring + per-document ranking run in ONE shuffle-free
+    ``map_batches`` — a doc's term frequencies are complete within its
+    batch, vectorized via ``np.unique`` factorization + one lexsort
+    per batch. Above the cap (a 100-TB web corpus has O(10^9) distinct
+    terms — no single node may hold the vocabulary) the model stays
+    sharded and the corpus joins it: (doc, term, tf) rows
+    hash-partition-join the (term, qidf) table on ``term``, then a
+    coarse hash(doc)-partitioned grouped top-k ranks per document
+    (Python per PARTITION, never per doc). Both paths produce
+    identical rows (same quantized-integer arithmetic, same
+    tie-breaks) — ``tests/test_vocab.py`` asserts it.
     """
     n_docs = ds.count()
-    df = _df_counts(ds, text_column)
+    dft = _df_dataset(ds, text_column).materialize()
+    n_terms = dft.count()
+    if n_terms > broadcast_max_terms:
+        _LOG.info(
+            "tfidf_topk_terms: %d distinct terms > broadcast_max_terms=%d"
+            " — using the distributed join path", n_terms,
+            broadcast_max_terms)
+        return _tfidf_join_path(
+            ds, dft, n_docs, id_column=id_column, text_column=text_column,
+            k=k, scale=scale, min_df=min_df,
+            join_partitions=join_partitions,
+            rank_partitions=rank_partitions)
+    df = {r["term"]: int(r["df"]) for r in dft.take_all()}
     qidf = {
         t: int(math.floor(math.log(n_docs / d) * scale + 0.5))
         for t, d in df.items() if d >= min_df
     }
     qidf_ref = ray.put(qidf)
-
-    out_schema = None  # resolved per batch from the id column
 
     def fn(tbl: pa.Table) -> pa.Table:
         idt = tbl.column(id_column).type
@@ -247,6 +277,130 @@ def tfidf_topk_terms(
         })
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _tfidf_join_path(
+    ds: ray.data.Dataset,
+    dft: ray.data.Dataset,
+    n_docs: int,
+    *,
+    id_column: str,
+    text_column: str,
+    k: int,
+    scale: int,
+    min_df: int,
+    join_partitions: int | None,
+    rank_partitions: int,
+) -> ray.data.Dataset:
+    """Web-scale TF-IDF ranking with the vocabulary model kept SHARDED:
+    (doc, term, tf) rows left-outer-join the (term, qidf) model on
+    ``term`` (hash-partitioned both sides — the only place the corpus
+    meets the model), then a coarse hash(doc)-partitioned grouped
+    top-k ranks each document's terms vectorized (one Python call per
+    PARTITION). No stage's memory grows with the corpus vocabulary."""
+    from ..util import auto_join_partitions
+    from .dedup import _hash_part
+    from .spans import _codes
+    from .windows import _field_type, _pin
+
+    if join_partitions is None:
+        join_partitions = auto_join_partitions()
+    idt = _field_type(ds, id_column)
+    model_schema = pa.schema([("term", pa.string()), ("qidf", pa.int64())])
+
+    def to_model(tbl: pa.Table) -> pa.Table:
+        dfv = tbl.column("df").to_numpy()
+        keep = dfv >= min_df
+        terms = tbl.column("term").combine_chunks().filter(pa.array(keep))
+        # scalar libm log per DISTINCT term: this stage is vocabulary-
+        # bounded and runs once per term across the cluster; np.log's
+        # SIMD lanes are not bit-identical to libm, and the
+        # quantization contract (driver math.log == SQL ln) must hold
+        # on this path exactly as on the broadcast path
+        nkeep = int(keep.sum())
+        q = np.fromiter(
+            (math.floor(math.log(n_docs / d) * scale + 0.5)
+             for d in dfv[keep]),
+            dtype=np.int64, count=nkeep)
+        return pa.table({"term": terms, "qidf": pa.array(q)})
+
+    model = dft.map_batches(to_model, batch_format="pyarrow").map_batches(
+        _pin(model_schema), batch_format="pyarrow")
+
+    dt_schema = pa.schema([(id_column, idt), ("term", pa.string()),
+                           ("tf", pa.int64())])
+
+    def emit(tbl: pa.Table) -> pa.Table:
+        flat, parent, nonempty = _tokens(tbl.column(text_column))
+        if parent.size == 0:
+            return dt_schema.empty_table()
+        toks = np.asarray(flat.to_numpy(zero_copy_only=False), dtype=object)
+        toks = toks[nonempty].astype(str)
+        parent = parent[nonempty]
+        if toks.size == 0:
+            return dt_schema.empty_table()
+        uniq, inv = np.unique(toks, return_inverse=True)
+        keys = parent * np.int64(len(uniq)) + inv
+        ukeys, tf = np.unique(keys, return_counts=True)
+        docs = (ukeys // len(uniq)).astype(np.int64)
+        tidx = (ukeys % len(uniq)).astype(np.int64)
+        return pa.table({
+            id_column: tbl.column(id_column).take(pa.array(docs)),
+            "term": pa.array(uniq[tidx].tolist(), pa.string()),
+            "tf": pa.array(tf.astype(np.int64)),
+        })
+
+    dt = ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True
+                        ).map_batches(_pin(dt_schema),
+                                      batch_format="pyarrow")
+    joined = dt.join(model, join_type="left_outer",
+                     num_partitions=join_partitions, on=("term",))
+
+    def score_part(tbl: pa.Table) -> pa.Table:
+        q = pc.fill_null(pc.cast(tbl.column("qidf"), pa.int64()),
+                         pa.scalar(0, pa.int64()))
+        score = pc.multiply_checked(tbl.column("tf"), q)
+        return pa.table({
+            id_column: tbl.column(id_column),
+            "term": tbl.column("term"),
+            "score": score,
+            "part": _hash_part(tbl.column(id_column), rank_partitions,
+                               seed=11),
+        })
+
+    out_schema = pa.schema([(id_column, idt), ("term", pa.string()),
+                            ("rank", pa.int64()), ("tfidf_q", pa.int64())])
+
+    def rank_part(grp: pa.Table) -> pa.Table:
+        if grp.num_rows == 0:
+            return out_schema.empty_table()
+        ids = grp.column(id_column).combine_chunks()
+        codes = _codes(ids)
+        terms = np.asarray(grp.column("term").to_numpy(
+            zero_copy_only=False), dtype=object)
+        score = grp.column("score").to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False)
+        # (doc, score desc, term asc) — the broadcast path's exact
+        # tie-break (term codes there are np.unique-sorted == term asc)
+        order = np.lexsort((terms, -score, codes))
+        c_sorted = codes[order]
+        newdoc = np.ones(c_sorted.size, dtype=bool)
+        newdoc[1:] = c_sorted[1:] != c_sorted[:-1]
+        starts = np.flatnonzero(newdoc)
+        rank = np.arange(c_sorted.size, dtype=np.int64) - np.repeat(
+            starts, np.diff(np.append(starts, c_sorted.size)))
+        keep = rank < k
+        sel = order[keep]
+        return pa.table({
+            id_column: ids.take(pa.array(sel)),
+            "term": pa.array(terms[sel].tolist(), pa.string()),
+            "rank": pa.array(rank[keep]),
+            "tfidf_q": pa.array(score[sel]),
+        }).cast(out_schema)
+
+    return (joined.map_batches(score_part, batch_format="pyarrow")
+            .groupby("part").map_groups(rank_part, batch_format="pyarrow")
+            .map_batches(_pin(out_schema), batch_format="pyarrow"))
 
 
 def vocab_stats(

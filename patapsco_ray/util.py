@@ -5,6 +5,21 @@ from __future__ import annotations
 import contextlib
 
 
+def auto_join_partitions(cap: int = 64) -> int:
+    """Partition count for ``Dataset.join`` sized to the cluster.
+
+    The hash-join operator spawns aggregator actors per partition;
+    oversubscribing a small cluster (e.g. 64 partitions at 8 CPUs)
+    DEADLOCKS the join (see functions/cluster.py:_star_round_vec,
+    where this was first measured). Half the cluster's CPUs, capped,
+    leaves slots for the producer stages feeding the join."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if (
+        ray.is_initialized()) else 4
+    return max(2, min(cap, cpus // 2))
+
+
 @contextlib.contextmanager
 def tasks_in_flight(n: int):
     """Scope ``DataContext.max_tasks_in_flight_per_actor`` to ``n``.

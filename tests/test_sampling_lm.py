@@ -98,3 +98,24 @@ def test_unigram_precomputed_stats(ray_session):
     q = int(math.floor(math.log(0.1) * 1_000_000 + 0.5))
     by = {r["doc_id"]: r["sum_logprob_q"] for r in out}
     assert by[1] == 2 * q and by[2] == 0
+
+
+def test_unigram_join_path_matches_broadcast(ray_session):
+    import random
+
+    rng = random.Random(23)
+    vocab = [f"t{i}" for i in range(40)]
+    texts = [" ".join(rng.choices(vocab, k=rng.randrange(0, 30)))
+             for _ in range(70)] + ["", "  "]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(5)
+    want = sorted((r["doc_id"], r["n_tokens"], r["sum_logprob_q"])
+                  for r in unigram_logprob(ds).take_all())
+    got = sorted((r["doc_id"], r["n_tokens"], r["sum_logprob_q"])
+                 for r in unigram_logprob(
+                     ds, broadcast_max_terms=0, join_partitions=4,
+                     agg_partitions=8).take_all())
+    assert got == want
+    assert len(got) == len(texts)  # zero-token docs present

@@ -157,3 +157,26 @@ def test_tfidf_min_df_trims_model_but_keeps_semantics(ray_session):
     by_doc = {r["doc_id"]: r for r in out}
     # doc 0: "rare1" (df=1, trimmed -> 0) loses to "shared" (df=2)
     assert by_doc[0]["term"] == "shared" and by_doc[0]["tfidf_q"] > 0
+
+
+def test_tfidf_join_path_matches_broadcast(ray_session):
+    # force the distributed join path (broadcast_max_terms=0) and
+    # require row-identical output vs the broadcast-dict path —
+    # includes idf-0 terms, ties, empty docs, and min_df trimming
+    import random
+
+    rng = random.Random(17)
+    vocab = [f"w{i:03d}" for i in range(60)]
+    texts = [" ".join(rng.choices(vocab, k=rng.randrange(0, 25)))
+             for _ in range(80)] + ["", "   "]
+    ds = _ds(texts).repartition(6)
+    for kwargs in ({"k": 3}, {"k": 2, "min_df": 3}):
+        want = {(r["doc_id"], r["term"], r["rank"], r["tfidf_q"])
+                for r in tfidf_topk_terms(ds, **kwargs).take_all()}
+        got_rows = tfidf_topk_terms(
+            ds, broadcast_max_terms=0, join_partitions=4,
+            rank_partitions=8, **kwargs).take_all()
+        got = {(r["doc_id"], r["term"], r["rank"], r["tfidf_q"])
+               for r in got_rows}
+        assert len(got_rows) == len(got)  # no duplicate rows
+        assert got == want
