@@ -1,3 +1,3 @@
-from .runner import Runner, run_pipeline
+from .runner import ConfigError, Runner, run_pipeline
 
-__all__ = ["Runner", "run_pipeline"]
+__all__ = ["ConfigError", "Runner", "run_pipeline"]

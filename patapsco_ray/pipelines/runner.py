@@ -74,6 +74,97 @@ from ..stages import (
 from ..text import TextConfig
 
 
+class ConfigError(ValueError):
+    """Invalid or inconsistent run configuration — the reference's
+    ConfigError (config.py:20-33 ``pydantic.Extra.forbid`` rejects
+    unknown fields; job.py:929-962 cross-checks plan consistency)."""
+
+
+# Allowed keys per config section (the reference's pydantic models with
+# Extra.forbid, schema.py). ``comment`` is legal in every section
+# (reference SectionConfig). A trailing "*" entry marks a free-form
+# subtree (rerank extra_args).
+_ALLOWED: dict[str, set] = {
+    "": {"run", "documents", "text", "index", "database", "topics",
+         "queries", "retrieve", "rerank", "score"},
+    "run": {"name", "path", "results"},
+    "documents": {"input"},
+    "documents.input": {"format", "path", "lang", "id_column",
+                        "text_column", "html_column"},
+    "text": {"tokenize", "stopwords", "stem", "lowercase"},
+    "index": {"strategy", "rows_per_segment"},
+    "database": {"enabled"},
+    "topics": {"input", "fields"},
+    "topics.input": {"format", "path", "lang", "source", "qrels_lang",
+                     "strip_non_digits"},
+    "retrieve": {"name", "k1", "b", "mu", "number", "rm3", "fb_terms",
+                 "fb_docs", "original_query_weight", "psq", "parse"},
+    "retrieve.psq": {"path", "threshold"},
+    "rerank": {"name", "script", "extra_args"},
+    "rerank.extra_args": {"*"},
+    "score": {"qrels", "metrics"},
+}
+
+_ENUMS = {
+    "documents.input.format": {"parquet", "jsonl", "json", "tsv",
+                               "msmarco", "sgml"},
+    "topics.input.format": {"jsonl", "json", "tsv", "msmarco", "sgml"},
+    "index.strategy": {"aligned", "shuffle"},
+    "retrieve.name": {"bm25", "qld"},
+    "rerank.name": {"mock", "shell"},
+}
+
+
+def _validate_config(cfg: dict) -> None:
+    """Reject unknown keys (a typo'd ``stemm:`` must ERROR, not run the
+    wrong pipeline) and out-of-range enum values; then check the plan's
+    required fields. Registry-registered custom formats/rerankers are
+    exempt from their enum check."""
+    from .. import registry
+
+    def walk(node: dict, path: str) -> None:
+        allowed = _ALLOWED.get(path)
+        if allowed is None or "*" in allowed:
+            return
+        for key, val in node.items():
+            if key == "comment":  # legal everywhere (SectionConfig)
+                continue
+            if key not in allowed:
+                where = f"section '{path}'" if path else "top level"
+                raise ConfigError(
+                    f"unknown config key '{key}' at {where} "
+                    f"(allowed: {', '.join(sorted(allowed))})")
+            sub = f"{path}.{key}" if path else key
+            if isinstance(val, dict):
+                walk(val, sub)
+            elif sub in _ENUMS and val is not None:
+                custom = None
+                if sub == "documents.input.format":
+                    custom = registry.resolve("documents", val)
+                elif sub == "rerank.name":
+                    custom = registry.resolve("rerank", val)
+                if custom is None and val not in _ENUMS[sub]:
+                    raise ConfigError(
+                        f"invalid value {val!r} for '{sub}' "
+                        f"(one of: {', '.join(sorted(_ENUMS[sub]))})")
+
+    walk(cfg, "")
+    if "documents" not in cfg or "path" not in cfg.get(
+            "documents", {}).get("input", {}):
+        raise ConfigError("config requires documents.input.path")
+    if "topics" not in cfg and "queries" not in cfg:
+        raise ConfigError("config requires a topics section or explicit "
+                          "queries")
+    if "topics" in cfg and "path" not in cfg["topics"].get("input", {}):
+        raise ConfigError("topics section requires topics.input.path")
+    ret = cfg.get("retrieve", {})
+    if isinstance(ret.get("psq"), dict) and "path" not in ret["psq"]:
+        raise ConfigError("retrieve.psq requires a path")
+    rr = cfg.get("rerank")
+    if rr and rr.get("name") == "shell" and not rr.get("script"):
+        raise ConfigError("rerank.name=shell requires rerank.script")
+
+
 def _load_config(config) -> dict:
     """Load + preprocess a config: YAML/JSON files, ``inherit:``
     section inheritance (reference config.py:444-490) and ``{a.b}``
@@ -195,6 +286,7 @@ class Runner:
 
     def __init__(self, config):
         self.config = _load_config(config)
+        _validate_config(self.config)
         run = self.config.get("run", {})
         self.run_path = pathlib.Path(
             run.get("path") or f"runs/{run.get('name', 'run')}"
@@ -213,6 +305,21 @@ class Runner:
         # ---- stage 1: index (+ doc store) ----
         t0 = time.time()
         index_dir = self.run_path / "index"
+        # plan cross-check (reference job.py:952-962): a resumed index
+        # must have been built with THIS run's text processing — query
+        # terms are processed with the current config, so a mismatch
+        # would silently score garbage
+        if (index_dir / "manifest.json").exists():
+            from ..index import read_manifest
+
+            prev = read_manifest(index_dir).get("text_config", {})
+            cur = {"tokenize": tconf.tokenize, "stopwords": tconf.stopwords,
+                   "stem": tconf.stem, "lowercase": tconf.lowercase}
+            if prev and any(prev.get(f) != cur[f] for f in cur):
+                raise ConfigError(
+                    "text processing for documents and queries does not "
+                    f"match: existing index at {index_dir} was built "
+                    f"with {prev}, this run's text config is {cur}")
         builder = (
             build_index_shuffle
             if cfg.get("index", {}).get("strategy") == "shuffle"
@@ -246,8 +353,18 @@ class Runner:
                 **{k: v for k, v in cols.items()},
             )
             write_doc_store(proc, store_dir)
+            # source lineage for the same-source cross-check below
+            (store_dir / ".config.json").write_text(json.dumps(
+                {"documents": {"input": cfg["documents"]["input"]}}))
             (store_dir / ".complete").touch()
             self.timing["database"] = time.time() - t0
+        elif need_store:
+            # plan cross-check (reference job.py:929-950
+            # check_sources_of_documents): a REUSED doc store must hold
+            # the same documents the index was built from — compare
+            # source path basenames against the store's config artifact
+            # (missing artifact only warns, matching the reference)
+            self._check_store_source(store_dir, cfg)
 
         # ---- stage 2: topics -> queries -> retrieve -> rerank ----
         if results_path.exists():  # run-level resume (job.py:112-116)
@@ -368,6 +485,28 @@ class Runner:
         (self.run_path / "timing.json").write_text(
             json.dumps(self.timing, indent=1))
         return out
+
+
+    @staticmethod
+    def _check_store_source(store_dir: pathlib.Path, cfg: dict) -> None:
+        import logging
+
+        art = store_dir / ".config.json"
+        if not art.exists():
+            logging.getLogger(__name__).warning(
+                "Unable to load config for the document database")
+            return
+        prev = json.loads(art.read_text())["documents"]["input"]
+        cur = cfg["documents"]["input"]
+        prev_path, cur_path = prev.get("path"), cur.get("path")
+        if isinstance(prev_path, str) != isinstance(cur_path, str):
+            raise ConfigError(
+                "documents in index do not match documents in database")
+        names = lambda p: ([pathlib.Path(p).name] if isinstance(p, str)
+                           else [pathlib.Path(x).name for x in p])
+        if names(prev_path) != names(cur_path):
+            raise ConfigError(
+                "documents in index do not match documents in database")
 
 
 def _rows_table(rows) -> pa.Table:
