@@ -352,10 +352,110 @@ def run_scale_dedup(num_cpus: int) -> None:
     ray.shutdown()
 
 
+def run_scale_ops(num_cpus: int, only: list[str] | None = None) -> None:
+    """3M-row smokes for the round-4/5 heavy operators the sf0.1 suite
+    can't stress: duplicate-span detection/removal FORCED onto the
+    join path (max_broadcast_ngrams=0 — the 100-TB shape), sequence
+    packing, the deterministic global shuffle, and tfidf/unigram with
+    the model both broadcast (default) and FORCED sharded
+    (broadcast_max_terms=0). Results recorded in BASELINE.md."""
+    import ray
+    import ray.data
+
+    sys.path.insert(0, str(REPO))
+    from patapsco_ray.functions import (
+        duplicate_spans,
+        pack_sequences,
+        remove_duplicate_spans,
+        shuffle_by_hash,
+        tfidf_topk_terms,
+        unigram_logprob,
+    )
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False)
+    paths = ensure_corpus()
+
+    def corpus():
+        return ray.data.read_parquet(paths, columns=["url", "text"])
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def inject_dup_tail(tbl: pa.Table) -> pa.Table:
+        # append a shared 60-token boilerplate tail to every 10th row
+        # (hash pick) so 50-gram duplicate spans exist: the zipf-random
+        # corpus has essentially none naturally
+        import numpy as np
+
+        from patapsco_ray.functions.hashing import stable_hash_strings
+
+        urls = tbl.column("url").combine_chunks().cast(pa.string())
+        pick = (stable_hash_strings(urls) % np.uint64(10) == 0) \
+            & np.asarray(pc.not_equal(
+                pc.fill_null(tbl.column("text"), ""), "")
+                .to_numpy(zero_copy_only=False), dtype=bool)
+        tail = " ".join(f"boiler{i:02d}" for i in range(60))
+        suffix = pa.array([(" " + tail) if p else "" for p in pick],
+                          pa.string())
+        return pa.table({
+            "url": urls,
+            "text": pc.binary_join_element_wise(
+                pc.fill_null(tbl.column("text"), ""), suffix, ""),
+        })
+
+    def span_corpus():
+        return corpus().map_batches(inject_dup_tail,
+                                    batch_format="pyarrow")
+
+    jobs = {
+        "duplicate_spans_join": lambda: duplicate_spans(
+            span_corpus(), id_column="url", max_broadcast_ngrams=0),
+        "remove_dup_spans_join": lambda: remove_duplicate_spans(
+            span_corpus(), id_column="url", max_broadcast_ngrams=0),
+        "pack_sequences": lambda: pack_sequences(
+            corpus(), budget=1024, id_column="url"),
+        "shuffle_by_hash": lambda: shuffle_by_hash(
+            corpus(), key_column="url"),
+        "tfidf_broadcast": lambda: tfidf_topk_terms(
+            corpus(), id_column="url", k=5),
+        "tfidf_sharded_model": lambda: tfidf_topk_terms(
+            corpus(), id_column="url", k=5, broadcast_max_terms=0),
+        "unigram_sharded_model": lambda: unigram_logprob(
+            corpus(), id_column="url", broadcast_max_terms=0),
+    }
+    queries = {}
+    for name, fn in jobs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            out = fn().materialize()
+            queries[f"{name}_sec"] = round(time.time() - t0, 1)
+            queries[f"{name}_rows"] = out.count()
+            del out
+        except Exception as e:  # record the boundary, keep going
+            queries[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
+        print(json.dumps({name: {k: v for k, v in queries.items()
+                                 if k.startswith(name)}}), flush=True)
+    print(json.dumps({
+        "metric": "web-scale heavy-operator wall time",
+        "value": sum(v for k, v in queries.items() if k.endswith("_sec")),
+        "unit": "sec",
+        "queries": queries,
+        "sf": CORPUS_ROWS,
+        "num_cpus": num_cpus,
+    }))
+    ray.shutdown()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scale-dedup", action="store_true")
+    ap.add_argument("--scale-ops", action="store_true")
+    ap.add_argument("--only", nargs="*", default=None)
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--headline-only", action="store_true")
     args = ap.parse_args()
@@ -363,6 +463,12 @@ def main() -> None:
     if args.scale_dedup:
         run_scale_dedup(
             args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+        return
+
+    if args.scale_ops:
+        run_scale_ops(
+            args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+            only=args.only)
         return
 
     if args.scaling:

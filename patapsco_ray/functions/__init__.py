@@ -45,7 +45,7 @@ from .vocab import top_ngrams, tfidf_topk_terms, vocab_stats
 from .similarity import (cosine_topk, cosine_neardup_pairs,
                          lsh_cosine_topk, ivf_cosine_topk,
                          train_ivf_centroids, kmeans_refine,
-                         ivf_assign_counts)
+                         kmeans_parallel_init, ivf_assign_counts)
 from .windows import sessionize, sliding_window_agg, topk_by_key, tumbling_window_agg
 
 __all__ = [
@@ -89,6 +89,7 @@ __all__ = [
     "simhash_pairs",
     "cosine_topk",
     "kmeans_refine",
+    "kmeans_parallel_init",
     "ivf_assign_counts",
     "cosine_neardup_pairs",
     "lsh_cosine_topk",

@@ -546,7 +546,7 @@ def minhash_lsh_pairs(
     max_bucket: int = 2000,
     seed: int = 17,
     broadcast_max_ids: int = 5_000_000,
-    semi_join_partitions: int = 64,
+    semi_join_partitions: int | None = None,
     target_group_rows: int = 65_536,
     sig_broadcast_max_bytes: int = 256 << 20,
 ) -> ray.data.Dataset:
@@ -758,11 +758,14 @@ def minhash_lsh_pairs(
             "minhash_lsh_pairs: %d candidate ids > broadcast_max_ids=%d"
             " — using a hash-partitioned left_semi join",
             n_ids, broadcast_max_ids)
+        from ..util import auto_join_partitions
+
         pinned_ids = cand_ids.rename_columns({"cid": id_column}).map_batches(
             _pin(pa.schema([(id_column, idt)])), batch_format="pyarrow")
         cand_docs = ds.select_columns([id_column, text_column]).join(
             pinned_ids, join_type="left_semi",
-            num_partitions=semi_join_partitions, on=(id_column,))
+            num_partitions=semi_join_partitions or auto_join_partitions(),
+            on=(id_column,))
 
     def compute_sigs(tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:

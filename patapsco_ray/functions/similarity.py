@@ -613,6 +613,209 @@ def kmeans_refine(
     return C
 
 
+def _id_hash_u64(col, seed: int) -> np.ndarray:
+    """Deterministic uint64 hash of an arbitrary-typed id column
+    (version-stable string hash mixed with the seed)."""
+    import pyarrow.compute as pc
+
+    from .hashing import splitmix64, stable_hash_strings
+
+    key = pc.cast(col, pa.string())
+    if isinstance(key, pa.ChunkedArray):
+        key = key.combine_chunks()
+    h = stable_hash_strings(key)
+    return splitmix64(h ^ splitmix64(
+        np.full(len(h), np.uint64(seed), dtype=np.uint64)))
+
+
+def _weighted_kmeans_local(P: np.ndarray, w: np.ndarray, k: int, *,
+                           seed: int, iters: int,
+                           spherical: bool) -> np.ndarray:
+    """Weighted k-means++ init + weighted Lloyd over a SMALL candidate
+    set (the final recluster step of k-means‖, Bahmani et al. VLDB'12
+    §3.3) — driver-side, bounded by rounds x oversample rows."""
+    rng = np.random.default_rng(seed)
+    n = len(P)
+    w = w.astype(np.float64)
+    first = int(rng.choice(n, p=w / w.sum()))
+    chosen = [first]
+    if spherical:
+        d2 = np.maximum(2.0 - 2.0 * (P @ P[first]), 0.0)
+    else:
+        d2 = ((P - P[first]) ** 2).sum(axis=1)
+    for _ in range(k - 1):
+        probs = w * d2
+        s = probs.sum()
+        probs = (w / w.sum()) if s <= 0 else probs / s
+        nxt = int(rng.choice(n, p=probs))
+        chosen.append(nxt)
+        if spherical:
+            nd2 = np.maximum(2.0 - 2.0 * (P @ P[nxt]), 0.0)
+        else:
+            nd2 = ((P - P[nxt]) ** 2).sum(axis=1)
+        d2 = np.minimum(d2, nd2)
+    C = P[chosen].copy()
+    for _ in range(iters):
+        if spherical:
+            assign = np.argmax(P @ C.T, axis=1)
+        else:
+            assign = np.argmax(P @ C.T - 0.5 * (C * C).sum(axis=1), axis=1)
+        for c in range(k):
+            m = assign == c
+            if w[m].sum() > 0:
+                C[c] = (w[m, None] * P[m]).sum(axis=0) / (
+                    1.0 if spherical else w[m].sum())
+        if spherical:
+            C = _normalize(C)
+    return C
+
+
+def kmeans_parallel_init(
+    ds: ray.data.Dataset,
+    k: int,
+    *,
+    rounds: int = 3,
+    oversample: int | None = None,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    seed: int = 0,
+    spherical: bool = True,
+    local_iters: int = 8,
+) -> np.ndarray:
+    """k-means‖ seeding (Bahmani et al., "Scalable k-means++",
+    VLDB'12): a handful of corpus passes each sample ~``oversample``
+    points with probability proportional to their squared distance to
+    the current centers, then the O(rounds·oversample) candidates are
+    weighted by cluster population and reclustered to ``k`` locally.
+
+    Fully deterministic in ``seed``: the Bernoulli draws use
+    ``splitmix64(stable_hash(id) ^ seed ^ round)`` mapped to [0,1), not
+    an RNG stream, so sampling is independent of block order. Every
+    corpus pass is one shuffle-free ``map_batches`` with the current
+    centers broadcast via ``ray.put``; only (candidate, φ-partial) rows
+    ever reach the driver — the corpus is never collected. Complements
+    the degenerate-but-oracle-stable smallest-id init of
+    :func:`ivf_assign_counts` with a quality seeding for real
+    clustering.
+    """
+    if oversample is None:
+        oversample = 2 * k
+    sel = ds.select_columns([id_column, vector_column])
+
+    # starting center: the globally smallest-hash row (per-block min,
+    # tiny driver fold — no global sort)
+    def local_min(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "v": tbl.column(vector_column).slice(0, 0)})
+        h = _id_hash_u64(tbl.column(id_column), seed)
+        j = int(np.argmin(h))
+        return pa.table({"h": pa.array([int(h[j] >> np.uint64(1))]),
+                         "v": tbl.column(vector_column).slice(j, 1)})
+
+    cand = sorted(
+        sel.map_batches(local_min, batch_format="pyarrow",
+                        zero_copy_batch=True).take_all(),
+        key=lambda r: r["h"])
+    if not cand:
+        raise ValueError("cannot seed k-means on an empty dataset")
+    c0 = np.asarray(cand[0]["v"], dtype=np.float64)
+    C = _normalize(c0[None, :]) if spherical else c0[None, :].copy()
+    d = C.shape[1]
+
+    out_schema = pa.schema([
+        ("is_phi", pa.bool_()), ("val", pa.float64()),
+        ("vec", pa.list_(pa.float64(), d))])
+
+    phi = None
+    for rnd in range(rounds + 1):
+        ref = ray.put(C)
+        phi_prev = phi
+        sample_this_round = rnd > 0  # round 0 only measures φ
+
+        def passer(tbl: pa.Table) -> pa.Table:
+            X = _matrix(tbl, vector_column)
+            if X.shape[0] == 0:
+                return out_schema.empty_table()
+            Cc = ray.get(ref)
+            if spherical:
+                Xw = _normalize(X)
+                d2 = np.maximum(2.0 - 2.0 * (Xw @ Cc.T).max(axis=1), 0.0)
+            else:
+                Xw = X
+                best = (Xw @ Cc.T - 0.5 * (Cc * Cc).sum(axis=1)).max(axis=1)
+                d2 = np.maximum((Xw * Xw).sum(axis=1) - 2.0 * best, 0.0)
+            rows_phi = pa.table({
+                "is_phi": pa.array([True]),
+                "val": pa.array([float(d2.sum())]),
+                "vec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(np.zeros(d)), d),
+            })
+            if not sample_this_round or not phi_prev:
+                return rows_phi.cast(out_schema)
+            u = _id_hash_u64(tbl.column(id_column),
+                             seed ^ (0x9E37 + rnd)).astype(np.float64)
+            u /= float(2 ** 64)
+            p = np.minimum(1.0, oversample * d2 / phi_prev)
+            pick = np.flatnonzero(u < p)
+            if pick.size == 0:
+                return rows_phi.cast(out_schema)
+            rows_s = pa.table({
+                "is_phi": pa.array([False] * pick.size),
+                "val": pa.array(np.zeros(pick.size)),
+                "vec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(Xw[pick].ravel()), d),
+            })
+            return pa.concat_tables([rows_phi.cast(out_schema),
+                                     rows_s.cast(out_schema)])
+
+        rows = sel.map_batches(passer, batch_format="pyarrow",
+                               zero_copy_batch=True).take_all()
+        phi = sum(r["val"] for r in rows if r["is_phi"])
+        new = [np.asarray(r["vec"], dtype=np.float64)
+               for r in rows if not r["is_phi"]]
+        if new:
+            C = np.vstack([C, np.asarray(new)])
+            # dedupe exact repeats (a point sampled in two rounds)
+            C = np.unique(C, axis=0)
+        if phi == 0:
+            break  # every point coincides with a center already
+
+    if C.shape[0] < k:
+        raise ValueError(
+            f"k-means|| sampled only {C.shape[0]} candidates < k={k}; "
+            "raise oversample or rounds")
+
+    # weight candidates by population, then recluster locally
+    ref = ray.put(C)
+    nc = C.shape[0]
+
+    def weigh(tbl: pa.Table) -> pa.Table:
+        X = _matrix(tbl, vector_column)
+        if X.shape[0] == 0:
+            return pa.table({"cid": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        Cc = ray.get(ref)
+        Xw = _normalize(X) if spherical else X
+        if spherical:
+            assign = np.argmax(Xw @ Cc.T, axis=1)
+        else:
+            assign = np.argmax(Xw @ Cc.T - 0.5 * (Cc * Cc).sum(axis=1),
+                               axis=1)
+        counts = np.bincount(assign, minlength=nc)
+        nz = np.flatnonzero(counts)
+        return pa.table({"cid": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(counts[nz].astype(np.int64))})
+
+    w = np.zeros(nc, dtype=np.float64)
+    for r in sel.map_batches(weigh, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all():
+        w[r["cid"]] += r["n"]
+    w = np.maximum(w, 1e-12)  # keep zero-population candidates pickable
+    return _weighted_kmeans_local(C, w, k, seed=seed, iters=local_iters,
+                                  spherical=spherical)
+
+
 def ivf_assign_counts(
     ds: ray.data.Dataset,
     *,
@@ -620,6 +823,8 @@ def ivf_assign_counts(
     refine_iters: int = 1,
     id_column: str = "vec_id",
     vector_column: str = "embedding",
+    init: str = "min_id",
+    seed: int = 0,
 ) -> pa.Table:
     """Cluster-population table after distributed k-means refinement.
 
@@ -631,28 +836,50 @@ def ivf_assign_counts(
     integer-valued, so the DuckDB oracle reproduces it exactly (argmax
     assignment is float-robust; only counts are compared).
     """
-    # smallest-id rows WITHOUT a global sort: each block keeps its
-    # local min-k (<= ncentroids rows per block reach the driver),
-    # then one tiny driver-side merge — same result as
-    # sort(id).limit(k) at none of the all-to-all cost
+    # init strategies (``init=``):
+    #   min_id (default)  — the ncentroids smallest-id rows. Degenerate
+    #     for real clustering but fully integer-deterministic, which the
+    #     SQL oracle depends on; NEVER change the default's semantics.
+    #   random_hash       — the ncentroids smallest stable-hash(id)^seed
+    #     rows: a deterministic pseudo-random draw, same per-block
+    #     min-k shape.
+    #   kmeans_par        — k-means|| seeding (kmeans_parallel_init).
+    # min-k WITHOUT a global sort: each block keeps its local min-k
+    # (<= ncentroids rows per block reach the driver), then one tiny
+    # driver-side merge — same result as sort(key).limit(k) at none of
+    # the all-to-all cost
     import pyarrow.compute as pc
 
-    def local_mink(tbl: pa.Table) -> pa.Table:
-        t = tbl.select([id_column, vector_column])
-        if t.num_rows <= ncentroids:
-            return t
-        order = pc.sort_indices(t.column(id_column))
-        return t.take(order.slice(0, ncentroids))
+    if init == "kmeans_par":
+        C0 = kmeans_parallel_init(
+            ds, ncentroids, id_column=id_column,
+            vector_column=vector_column, seed=seed, spherical=True)
+    elif init in ("min_id", "random_hash"):
+        def local_mink(tbl: pa.Table) -> pa.Table:
+            t = tbl.select([id_column, vector_column])
+            if init == "random_hash":
+                key = pa.array((_id_hash_u64(t.column(id_column), seed)
+                                >> np.uint64(1)).astype(np.int64))
+                t = t.append_column("sort_key", key)
+            else:
+                t = t.append_column("sort_key", t.column(id_column))
+            if t.num_rows <= ncentroids:
+                return t
+            order = pc.sort_indices(t.column("sort_key"))
+            return t.take(order.slice(0, ncentroids))
 
-    cand = (ds.map_batches(local_mink, batch_format="pyarrow",
-                           zero_copy_batch=True).take_all())
-    cand.sort(key=lambda r: r[id_column])
-    init_rows = cand[:ncentroids]
-    if not init_rows:
-        raise ValueError("cannot train centroids on an empty dataset")
-    C0 = _normalize(np.asarray(
-        [np.asarray(r[vector_column], dtype=np.float64)
-         for r in init_rows]))
+        cand = (ds.map_batches(local_mink, batch_format="pyarrow",
+                               zero_copy_batch=True).take_all())
+        cand.sort(key=lambda r: r["sort_key"])
+        init_rows = cand[:ncentroids]
+        if not init_rows:
+            raise ValueError("cannot train centroids on an empty dataset")
+        C0 = _normalize(np.asarray(
+            [np.asarray(r[vector_column], dtype=np.float64)
+             for r in init_rows]))
+    else:
+        raise ValueError(
+            f"unknown init {init!r} (min_id, random_hash, kmeans_par)")
     C = kmeans_refine(ds, C0, iters=refine_iters,
                       vector_column=vector_column, spherical=True)
     k = C.shape[0]

@@ -223,7 +223,7 @@ def duplicate_spans(
     id_column: str = "doc_id",
     text_column: str = "text",
     max_broadcast_ngrams: int = 20_000_000,
-    join_partitions: int = 64,
+    join_partitions: int | None = None,
     concurrency=(1, 8),
 ) -> ray.data.Dataset:
     """Maximal duplicated-span token ranges per document.
@@ -237,6 +237,10 @@ def duplicate_spans(
     from ..util import fixed_pool
     from .windows import _field_type, _pin
 
+    if join_partitions is None:
+        from ..util import auto_join_partitions
+
+        join_partitions = auto_join_partitions()
     dup = _dup_hash_table(docs, text_column, ngram_size).materialize()
     n_dup = dup.count()
     idt = _field_type(docs, id_column)
@@ -312,7 +316,7 @@ def remove_duplicate_spans(
     id_column: str = "doc_id",
     text_column: str = "text",
     max_broadcast_ngrams: int = 20_000_000,
-    join_partitions: int = 64,
+    join_partitions: int | None = None,
     concurrency=(1, 8),
 ) -> ray.data.Dataset:
     """Rewrite every document with its duplicated spans deleted.
@@ -327,6 +331,10 @@ def remove_duplicate_spans(
     """
     from ..util import fixed_pool
 
+    if join_partitions is None:
+        from ..util import auto_join_partitions
+
+        join_partitions = auto_join_partitions()
     dup = _dup_hash_table(docs, text_column, ngram_size).materialize()
     n_dup = dup.count()
     if n_dup == 0:

@@ -2,6 +2,7 @@
 ivf_assign_counts)."""
 
 import numpy as np
+import pytest
 import pyarrow as pa
 import ray.data
 
@@ -108,3 +109,66 @@ def test_ivf_assign_counts_partitions_everything(ray_session):
     rows = t.to_pylist()
     assert sum(r["n_members"] for r in rows) == 120
     assert all(0 <= r["centroid_id"] < 4 for r in rows)
+
+
+# ---- k-means|| / random-hash seeding (beyond the oracle's min_id) ----
+
+from patapsco_ray.functions import ivf_assign_counts as _iac
+from patapsco_ray.functions import kmeans_parallel_init
+
+
+def _clustered(rng, centers, per=40, scale=0.05):
+    return np.vstack([rng.normal(loc=c, scale=scale, size=(per, len(c)))
+                      for c in centers])
+
+
+def test_kmeans_parallel_init_deterministic(ray_session):
+    rng = np.random.default_rng(31)
+    X = _clustered(rng, [[1, 0, 0], [0, 1, 0], [0, 0, 1]])
+    ds = _emb_ds(X).repartition(5)
+    a = kmeans_parallel_init(ds, 3, seed=4)
+    b = kmeans_parallel_init(ds, 3, seed=4)
+    np.testing.assert_array_equal(a, b)
+    c = kmeans_parallel_init(ds, 3, seed=5)
+    assert not np.array_equal(a, c)  # seed actually steers sampling
+
+
+def test_kmeans_parallel_init_recovers_separated_clusters(ray_session):
+    rng = np.random.default_rng(33)
+    centers = [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1]]
+    X = _clustered(rng, centers, per=60)
+    ds = _emb_ds(X).repartition(6)
+    C = kmeans_parallel_init(ds, 4, seed=1)
+    assert C.shape == (4, 4)
+    # every true center has a seed within cosine distance 0.1 of it,
+    # and all four seeds claim DIFFERENT true centers
+    tc = _normalize(np.asarray(centers, dtype=np.float64))
+    claims = np.argmax(C @ tc.T, axis=1)
+    assert sorted(claims.tolist()) == [0, 1, 2, 3]
+    assert (np.max(C @ tc.T, axis=1) > 0.9).all()
+
+
+def test_kmeans_parallel_init_euclidean(ray_session):
+    rng = np.random.default_rng(37)
+    X = np.vstack([
+        rng.normal(loc=[10.0, 0.0], scale=0.1, size=(50, 2)),
+        rng.normal(loc=[0.2, 0.1], scale=0.03, size=(50, 2)),
+    ])
+    ds = _emb_ds(X).repartition(4)
+    C = kmeans_parallel_init(ds, 2, seed=2, spherical=False)
+    d = np.linalg.norm(C[:, None, :] - np.array([[10, 0], [0.2, 0.1]]),
+                       axis=2)
+    assert sorted(np.argmin(d, axis=1).tolist()) == [0, 1]
+    assert d.min(axis=1).max() < 1.0
+
+
+def test_ivf_assign_counts_alternate_inits(ray_session):
+    rng = np.random.default_rng(41)
+    X = rng.normal(size=(150, 4))
+    ds = _emb_ds(X)
+    for init in ("random_hash", "kmeans_par"):
+        t = _iac(ds, ncentroids=4, refine_iters=1, init=init, seed=3)
+        rows = t.to_pylist()
+        assert sum(r["n_members"] for r in rows) == 150, init
+    with pytest.raises(ValueError, match="unknown init"):
+        _iac(ds, ncentroids=4, init="bogus")
