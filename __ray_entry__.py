@@ -741,6 +741,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["tfidf_topk_terms"] = tfidf_terms
 
+    def tfidf_terms_sharded(sf: str):
+        # same rows as tfidf_topk_terms, but the IDF model is FORCED
+        # onto the sharded join path (broadcast_max_terms=0) — the
+        # 100-TB execution shape, gated by the same SQL oracle
+        from patapsco_ray.functions import tfidf_topk_terms
+
+        return tfidf_topk_terms(
+            _docs(sf).select_columns(["doc_id", "text"]), k=5,
+            broadcast_max_terms=0)
+
+    q["tfidf_topk_sharded"] = tfidf_terms_sharded
+
     def vstats(sf: str):
         from patapsco_ray.functions import vocab_stats
 
@@ -870,6 +882,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ivf_assign_counts(_emb(sf), ncentroids=8, refine_iters=1)
 
     q["kmeans_assign_counts"] = kmeans_counts
+
+    def kmeans_par_counts(sf: str):
+        # k-means|| seeding (kmeans_parallel_init) + refinement +
+        # assignment. Deterministic in seed, but the weighted local
+        # recluster is not SQL-expressible — no oracle entry (driver
+        # records the weaker rows-only check)
+        from patapsco_ray.functions import ivf_assign_counts
+
+        return ivf_assign_counts(_emb(sf), ncentroids=8, refine_iters=1,
+                                 init="kmeans_par", seed=3)
+
+    q["kmeans_par_counts"] = kmeans_par_counts
 
     def qfilter(sf: str):
         from patapsco_ray.functions import quality_filter
@@ -1024,6 +1048,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return unigram_logprob(_docs(sf))
 
     q["unigram_logprob"] = unigram
+
+    def unigram_sharded(sf: str):
+        # the sharded-model join path (broadcast_max_terms=0), same
+        # rows and oracle as unigram_logprob
+        from patapsco_ray.functions import unigram_logprob
+
+        return unigram_logprob(_docs(sf), broadcast_max_terms=0)
+
+    q["unigram_logprob_sharded"] = unigram_sharded
 
     # --- event-stream operators (windowed/sessionized aggregates) ---
     def _events(sf: str):
@@ -1821,7 +1854,7 @@ def oracle_sql() -> dict[str, str]:
                 ON reach.r = e.u),
             comp AS (SELECT id, LEAST(id, MIN(r)) AS root
                      FROM reach GROUP BY id)"""
-    return {
+    return _add_sharded_model_oracles({
         "dedup_clusters": f"""
             WITH RECURSIVE {jaccard_comp_ctes}
             SELECT id, root FROM comp""",
@@ -2366,4 +2399,13 @@ def oracle_sql() -> dict[str, str]:
               CAST(sum((doc_id * 5 + f * 3 + j) % 256) AS BIGINT)
                 AS byte_sum
             FROM b GROUP BY doc_id, f""",
-    }
+    })
+
+
+def _add_sharded_model_oracles(sql: dict[str, str]) -> dict[str, str]:
+    """The sharded-model (join-path) variants compute IDENTICAL rows to
+    their broadcast twins — same SQL, full value-hash gate on the
+    100-TB execution shape."""
+    sql["tfidf_topk_sharded"] = sql["tfidf_topk_terms"]
+    sql["unigram_logprob_sharded"] = sql["unigram_logprob"]
+    return sql
