@@ -450,11 +450,70 @@ def run_scale_ops(num_cpus: int, only: list[str] | None = None) -> None:
     ray.shutdown()
 
 
+def run_scale_positions(num_cpus: int) -> None:
+    """Positional-index cost accounting at the 3M-row bench corpus:
+    build the same index with positions=False (reference-parity
+    DOCS_AND_FREQS) and positions=True, report build seconds, index
+    bytes and the deltas. Best-of-N per variant, interleaved, so both
+    variants sample the same box-noise windows. Results recorded in
+    BASELINE.md (VERDICT r4 task 5)."""
+    import ray
+
+    sys.path.insert(0, str(REPO))
+    from patapsco_ray.index import build_index
+    from patapsco_ray.text import TextConfig
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False)
+    paths = ensure_corpus()
+    cfg = TextConfig(stem="porter")
+
+    def du(d: str) -> int:
+        return sum(p.stat().st_size
+                   for p in pathlib.Path(d).rglob("*") if p.is_file())
+
+    repeats = int(os.environ.get("BENCH_BUILD_REPEATS", "3"))
+    best = {False: float("inf"), True: float("inf")}
+    size = {}
+    for _ in range(max(repeats, 1)):
+        for pos in (False, True):
+            d = f"/tmp/patapsco_bench_posidx_{int(pos)}"
+            shutil.rmtree(d, ignore_errors=True)
+            t0 = time.time()
+            build_index(paths, d, text_config=cfg,
+                        rows_per_segment=ROWS_PER_SEGMENT,
+                        concurrency=num_cpus, positions=pos)
+            best[pos] = min(best[pos], time.time() - t0)
+            size[pos] = du(d)
+    queries = {
+        "build_sec_freqs": round(best[False], 1),
+        "build_sec_positions": round(best[True], 1),
+        "build_overhead_pct": round(
+            100.0 * (best[True] / best[False] - 1.0), 1),
+        "index_bytes_freqs": size[False],
+        "index_bytes_positions": size[True],
+        "size_overhead_pct": round(
+            100.0 * (size[True] / size[False] - 1.0), 1),
+        "corpus_rows": CORPUS_ROWS,
+    }
+    print(json.dumps({
+        "metric": "positional-index build/size overhead",
+        "value": queries["size_overhead_pct"],
+        "unit": "pct",
+        "queries": queries,
+        "sf": CORPUS_ROWS,
+        "num_cpus": num_cpus,
+    }))
+    ray.shutdown()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scale-dedup", action="store_true")
     ap.add_argument("--scale-ops", action="store_true")
+    ap.add_argument("--scale-positions", action="store_true")
     ap.add_argument("--only", nargs="*", default=None)
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--headline-only", action="store_true")
@@ -469,6 +528,11 @@ def main() -> None:
         run_scale_ops(
             args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32")),
             only=args.only)
+        return
+
+    if args.scale_positions:
+        run_scale_positions(
+            args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32")))
         return
 
     if args.scaling:

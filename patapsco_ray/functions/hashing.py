@@ -20,8 +20,30 @@ def hash_strings(arr: pa.Array | pa.ChunkedArray, seed: int = 0) -> np.ndarray:
     """Vectorized 64-bit hash of a string array -> uint64 ndarray."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    s = pl.from_arrow(arr)
-    return s.hash(seed=seed).to_numpy().astype(_U64, copy=False)
+    try:
+        s = pl.from_arrow(arr)
+        return s.hash(seed=seed).to_numpy().astype(_U64, copy=False)
+    except AttributeError:
+        # A Ray task cancellation (KeyboardInterrupt) can land mid
+        # `import polars` in a reused worker process, leaving a
+        # half-initialized module in sys.modules whose lazy re-exports
+        # are missing (`polars._reexport has no attribute 'Series'`).
+        # Purge and re-import once, then retry — the hash values are
+        # identical, only the module state was broken.
+        s = _reimport_polars().from_arrow(arr)
+        return s.hash(seed=seed).to_numpy().astype(_U64, copy=False)
+
+
+def _reimport_polars():
+    global pl
+    import importlib
+    import sys
+
+    for name in [m for m in list(sys.modules)
+                 if m == "polars" or m.startswith("polars.")]:
+        del sys.modules[name]
+    pl = importlib.import_module("polars")
+    return pl
 
 
 def stable_hash_strings(arr: pa.Array | pa.ChunkedArray,

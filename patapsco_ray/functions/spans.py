@@ -28,7 +28,11 @@ Semantics (mirrored exactly by the SQL oracle in ``__ray_entry__``):
 Shape for 100 TB:
 
 - pass 1 pre-aggregates inside each batch (``np.unique`` with counts)
-  so only distinct ``(hash, count)`` rows enter the ``groupby.sum``;
+  so only distinct ``(hash, count)`` rows enter the one shuffle — a
+  hash-partitioned ``groupby.map_groups`` whose per-partition fold is
+  a single ``np.add.reduceat`` (NOT ``groupby(h).sum``: window hashes
+  are nearly all distinct, and Ray's per-key aggregation over a
+  corpus-token-count-sized key space measured 15x slower);
 - pass 2 is adaptive (the dedup-family pattern): when the duplicated
   n-gram set fits ``max_broadcast_ngrams`` it is broadcast once via
   ``ray.put`` (sorted uint64, 8 B/ngram) and the corpus streams
@@ -63,6 +67,9 @@ _LOG = logging.getLogger(__name__)
 
 _SEED = 3  # the shingle-hash stream shared with dedup/decontam
 _SPAN_PARTS = 64  # coarse partitions for the distributed merge
+_AGG_PARTS = 256  # pass-1 count-fold partitions (~1M rows each at 3M
+# docs; at larger corpora raise via _dup_hash_table(agg_partitions=)
+# so one partition's distinct (h, c) rows stay ~100 MB)
 
 
 def _windows(tbl: pa.Table, text_column: str, w: int):
@@ -117,27 +124,44 @@ def _merge_runs(docs: np.ndarray, pos: np.ndarray, w: int):
     return starts_at, pos[starts_at], pos[ends_at] + w
 
 
-def _dup_hash_table(docs: ray.data.Dataset, text_column: str, w: int
-                    ) -> ray.data.Dataset:
+def _dup_hash_table(docs: ray.data.Dataset, text_column: str, w: int,
+                    agg_partitions: int = _AGG_PARTS) -> ray.data.Dataset:
     """(h:int64) table of n-gram hashes occurring >= 2 times corpus-wide.
 
-    Batch combiner first (distinct hash + count per batch), then one
-    small ``groupby.sum`` — the only shuffle of pass 1."""
+    Batch combiner first (distinct hash + count per batch), then ONE
+    shuffle: the (h, c) rows are hash-partitioned on ``h % P`` and each
+    partition folds its counts with a single ``np.add.reduceat`` pass.
+    A ``groupby("h").sum("c")`` is the same shuffle but pays Ray's
+    per-key aggregation over ~every window hash in the corpus (window
+    hashes are nearly all distinct — ~93 windows/doc at w=50 means the
+    key cardinality tracks the corpus token count): measured 1,371 s at
+    3M docs / 280M keys vs ~90 s for this partitioned reduceat shape."""
 
     def partial(tbl: pa.Table) -> pa.Table:
         _, _, h = _windows(tbl, text_column, w)
         uh, c = np.unique(h, return_counts=True)
-        return pa.table({"h": pa.array(uh.view(np.int64)),
-                         "c": pa.array(c.astype(np.int64))})
+        return pa.table({
+            "h": pa.array(uh.view(np.int64)),
+            "c": pa.array(c.astype(np.int64)),
+            "hpart": pa.array((uh % np.uint64(agg_partitions))
+                              .astype(np.int64)),
+        })
 
-    def only_dups(tbl: pa.Table) -> pa.Table:
-        m = pc.greater_equal(tbl.column("sum(c)"), pa.scalar(2))
-        return tbl.filter(m).select(["h"])
+    def dups_in_part(grp: pa.Table) -> pa.Table:
+        h = grp.column("h").to_numpy(zero_copy_only=False)
+        c = grp.column("c").to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        hs, cs = h[order], c[order]
+        brk = np.ones(hs.size, dtype=bool)
+        brk[1:] = hs[1:] != hs[:-1]
+        firsts = np.flatnonzero(brk)
+        sums = np.add.reduceat(cs, firsts) if firsts.size else cs[:0]
+        return pa.table({"h": pa.array(hs[firsts][sums >= 2])})
 
     return (docs.map_batches(partial, batch_format="pyarrow",
                              zero_copy_batch=True)
-            .groupby("h").sum("c")
-            .map_batches(only_dups, batch_format="pyarrow"))
+            .groupby("hpart")
+            .map_groups(dups_in_part, batch_format="pyarrow"))
 
 
 class _SpanFinder:
