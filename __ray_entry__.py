@@ -1016,6 +1016,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["stratified_sample"] = stratified
 
+    def budget_selected(sf: str):
+        # "best N tokens" curation cut: highest-n_chars docs whose
+        # running whitespace-token total stays <= 5000; distributed
+        # histogram + boundary refinement, never a corpus sort — the
+        # oracle is the equivalent SQL window-cumsum QUALIFY
+        from patapsco_ray.functions import select_by_token_budget
+
+        return select_by_token_budget(
+            _docs(sf), budget=5000, priority_column="n_chars")
+
+    q["select_by_token_budget"] = budget_selected
+
+    def budget_selected_bucketed(sf: str):
+        # same cut FORCED through the id-range bucket refinement
+        # (max_boundary_rows=1 — the 100-TB boundary-tier shape);
+        # must be row-identical to the driver-fold path
+        from patapsco_ray.functions import select_by_token_budget
+
+        return select_by_token_budget(
+            _docs(sf), budget=5000, priority_column="n_chars",
+            max_boundary_rows=1, id_bucket_count=8)
+
+    q["select_by_token_budget_bucketed"] = budget_selected_bucketed
+
+    def weighted_sample(sf: str):
+        # per-row Bernoulli keep with probability (n_chars%1000)/1000,
+        # decided by the deterministic splitmix64 u01 — the oracle
+        # re-derives hash AND compare in SQL float64
+        from patapsco_ray.functions import importance_sample
+
+        def add_w(tbl):
+            w = (np.asarray(tbl.column("n_chars").to_numpy(
+                zero_copy_only=False)) % 1000) / 1000.0
+            return tbl.append_column("w", pa.array(w, pa.float64()))
+
+        ds = _docs(sf).select_columns(["doc_id", "lang", "n_chars"]) \
+            .map_batches(add_w, batch_format="pyarrow")
+        return importance_sample(ds, weight_column="w", seed=5) \
+            .select_columns(["doc_id", "lang"])
+
+    q["importance_sample"] = weighted_sample
+
     def packed(sf: str):
         # greedy token-budget packing per language group; the oracle
         # replays the identical greedy scan with a recursive CTE
@@ -1706,6 +1748,34 @@ def _sample_sql() -> str:
     return f"SELECT doc_id FROM documents WHERE {pred}"
 
 
+def _token_budget_sql() -> str:
+    # window-cumsum QUALIFY form of select_by_token_budget: running
+    # whitespace-token total over (n_chars DESC, doc_id ASC) <= 5000
+    return """
+        WITH t AS (
+          SELECT doc_id,
+            len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS n_tokens,
+            n_chars
+          FROM documents),
+        c AS (
+          SELECT doc_id, n_tokens,
+            sum(n_tokens) OVER (
+              ORDER BY n_chars DESC, doc_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM t)
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+        FROM c WHERE cum <= 5000"""
+
+
+def _importance_sql() -> str:
+    from patapsco_ray.functions.budget import importance_sample_sql
+
+    pred = importance_sample_sql("doc_id", "(n_chars % 1000) / 1000.0",
+                                 seed=5)
+    return f"SELECT doc_id, lang FROM documents WHERE {pred}"
+
+
 def _stratified_sql() -> str:
     from patapsco_ray.functions.sampling import stratified_sample_sql
 
@@ -1952,6 +2022,9 @@ def oracle_sql() -> dict[str, str]:
         "language_id": _language_id_sql(),
         "sample_by_hash": _sample_sql(),
         "stratified_sample": _stratified_sql(),
+        "select_by_token_budget": _token_budget_sql(),
+        "select_by_token_budget_bucketed": _token_budget_sql(),
+        "importance_sample": _importance_sql(),
         "pack_sequences": _PACK_SQL,
         "shuffle_by_hash": _shuffle_sql(),
         "unigram_logprob": _UNIGRAM_SQL,

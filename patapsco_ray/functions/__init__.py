@@ -28,6 +28,8 @@ from .textstats import (token_counts, quality_signals, quality_filter,
 from .pii import pii_counts, redact_pii
 from .chunking import chunk_documents, pack_sequences
 from .sampling import sample_by_hash, shuffle_by_hash, stratified_sample
+from .budget import (select_by_token_budget, importance_sample,
+                     importance_sample_sql)
 from .urls import (canonicalize_url, canonicalize_urls, url_duplicates,
                    extract_hosts, host_stats)
 from .dedup import (
@@ -68,6 +70,9 @@ __all__ = [
     "sample_by_hash",
     "shuffle_by_hash",
     "stratified_sample",
+    "select_by_token_budget",
+    "importance_sample",
+    "importance_sample_sql",
     "unigram_corpus_stats",
     "unigram_logprob",
     "exact_duplicates",
