@@ -256,6 +256,8 @@ def run_sf_ops(sf_dir: str) -> dict:
         "top_ngrams",
         "tfidf_topk_terms",
         "kmeans_assign_counts",
+        "select_by_token_budget",
+        "importance_sample",
     ]
     repeats = int(os.environ.get("BENCH_OPS_REPEATS", "3"))
     out = {}
